@@ -1,0 +1,108 @@
+package graft.statements
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dictionary encoding (exact-surface-form canonicalization), pair-frequency
+  * filtering and entity-pair pools — distributed re-expression of
+  * `mtb_data_loader.py:427-561` (§2.9/2.10) and `:337-389` (§1.8/2.16).
+  *
+  * Determinism: the reference assigns dense ids in single-threaded
+  * first-appearance order. Distributed first-appearance = min(docOrd,
+  * pairOrd[,slot]) per key — stable under any partitioning (SURVEY.md §7.5;
+  * never monotonically_increasing_id). The ranking window runs over the
+  * DISTINCT keys only (dimension table, orders of magnitude smaller than
+  * the fact table), which is the standard dense-id idiom; at 100 TB the
+  * same plan holds because dims stay ≪ facts.
+  *
+  * Skew: hot surface forms ("acme corp") skew the dictionary joins — the
+  * dims are broadcast when small; otherwise AQE skew-join splitting handles
+  * the hot hash buckets (enabled in GraftSession).
+  */
+object Encode {
+
+  final case class Encoded(fact: DataFrame, xDim: DataFrame, eDim: DataFrame)
+
+  /** Input columns: url, docOrd, pairOrd, tokens, e1s, e1e, e2s, e2e, e1, e2. */
+  def dictEncode(st: DataFrame): Encoded = {
+    val withX = st.withColumn("x_text", concat_ws(" ", col("tokens")))
+
+    // x dictionary: window text -> dense id, first-appearance order
+    val xFirst = withX
+      .groupBy(col("x_text"))
+      .agg(min(struct(col("docOrd"), col("pairOrd"))).as("first_seen"))
+    val xDim = xFirst
+      .withColumn("x_id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+      .select(col("x_text"), col("x_id"))
+
+    // entity dictionary: e1 slot seen before e2 slot within a row
+    val eOcc = withX.select(col("e1").as("e_text"),
+        struct(col("docOrd"), col("pairOrd"), lit(0).as("slot")).as("pos"))
+      .unionAll(withX.select(col("e2").as("e_text"),
+        struct(col("docOrd"), col("pairOrd"), lit(1).as("slot")).as("pos")))
+    val eDim = eOcc
+      .groupBy(col("e_text"))
+      .agg(min(col("pos")).as("first_seen"))
+      .withColumn("e_id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+      .select(col("e_text"), col("e_id"))
+
+    val fact = withX
+      .join(xDim, Seq("x_text"))
+      .join(eDim.withColumnRenamed("e_text", "e1").withColumnRenamed("e_id", "e1_id"), Seq("e1"))
+      .join(eDim.withColumnRenamed("e_text", "e2").withColumnRenamed("e_id", "e2_id"), Seq("e2"))
+      .select(
+        col("url"), col("docOrd"), col("pairOrd"), col("x_id"),
+        col("e1s"), col("e1e"), col("e2s"), col("e2e"),
+        col("e1_id"), col("e2_id"), col("e1"), col("e2"), col("tokens"))
+    Encoded(fact, xDim, eDim)
+  }
+
+  /** Pair-frequency filter (`_remove_low_freq_combs`, min_count>=2 at build;
+    * min_pool_size at preprocess): partial+final hash agg then a semi join
+    * back — no row-level data ever reaches the driver. */
+  def freqFilter(fact: DataFrame, minCount: Int): DataFrame = {
+    if (minCount <= 1) return fact
+    val keep = fact
+      .groupBy(col("e1_id"), col("e2_id"))
+      .count()
+      .filter(col("count") >= minCount)
+      .select(col("e1_id"), col("e2_id"))
+    fact.join(keep, Seq("e1_id", "e2_id"), "left_semi")
+  }
+
+  /** Prune dimension tables to surviving fact keys (map cleanup,
+    * `mtb_data_loader.py:541-559`) — semi joins. */
+  def pruneDims(fact: DataFrame, xDim: DataFrame, eDim: DataFrame): (DataFrame, DataFrame) = {
+    val xKeep = xDim.join(fact.select("x_id").distinct(), Seq("x_id"), "left_semi")
+    val eKeys = fact.select(col("e1_id").as("e_id"))
+      .unionAll(fact.select(col("e2_id").as("e_id"))).distinct()
+    val eKeep = eDim.join(eKeys, Seq("e_id"), "left_semi")
+    (xKeep, eKeep)
+  }
+
+  /** Dense relation ids in (docOrd, pairOrd) order — the reference's
+    * np.arange(len(data)) after filtering (`mtb_data_loader.py:249`). */
+  def withRelationIds(fact: DataFrame): DataFrame =
+    fact.withColumn(
+      "relation_id",
+      row_number().over(Window.orderBy(col("docOrd"), col("pairOrd"))).cast("long") - 1)
+
+  /** Entity-pair pools + deterministic train/validation split
+    * (`generate_entities_pools` + `transform_data`; the reference's
+    * np.random>0.75 becomes a seeded key-derived hash — SURVEY.md §2.16). */
+  def pools(factWithIds: DataFrame, seed: Long = 42L): DataFrame =
+    factWithIds
+      .groupBy(col("e1_id"), col("e2_id"))
+      .agg(sort_array(collect_list(col("relation_id"))).as("relation_ids"))
+      .withColumn(
+        "set",
+        when(pmod(xxhash64(col("e1_id"), col("e2_id"), lit(seed)), lit(100)) >= 75, "validation")
+          .otherwise("train"))
+
+  /** Per-entity pools (e1_pool / e2_pool re-groupings, §1.8). */
+  def entityPool(factWithIds: DataFrame, side: String): DataFrame =
+    factWithIds
+      .groupBy(col(s"${side}_id"))
+      .agg(sort_array(collect_list(col("relation_id"))).as("relation_ids"))
+}

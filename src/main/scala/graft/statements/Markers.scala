@@ -1,0 +1,61 @@
+package graft.statements
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.schema.Span
+import graft.tokenize.{BertTokenizer, BertVocab}
+
+/** Entity-marker insertion + WordPiece re-encoding + span fixup —
+  * exact ports of `mtb_data_loader.py:319-335` (_add_special_tokens) and
+  * `:222-242` (marker index recovery; spans point INSIDE the markers). */
+object Markers {
+
+  /** `_add_special_tokens`: rebuild the window token list with [CLS],
+    * [E1]/[/E1], [E2]/[/E2], [SEP]. Insertion order per the reference:
+    * openers before the token (E1 first), closers after it (E1 first). */
+  def addSpecialTokens(
+      tokens: Seq[String],
+      e1: Span,
+      e2: Span): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    out += BertVocab.Cls
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      if (i == e1.start) out += BertVocab.E1
+      if (i == e2.start) out += BertVocab.E2
+      out += tokens(i)
+      if (i == e1.end) out += BertVocab.E1End
+      if (i == e2.end) out += BertVocab.E2End
+      i += 1
+    }
+    out += BertVocab.Sep
+    out.toSeq
+  }
+
+  final case class Encoded(tokenIds: Seq[Int], e1Span: Span, e2Span: Span)
+
+  /** Tokenize the marker-bearing string and relocate spans to wordpiece
+    * coordinates, inside the marker pairs: (e1_s+1, e1_e-1). Rows whose
+    * markers vanish in tokenization are dropped (the reference counts and
+    * drops them via the ValueError path, `mtb_data_loader.py:239-242`). */
+  def encode(tokenizer: BertTokenizer)(
+      tokens: Seq[String],
+      e1: Span,
+      e2: Span): Option[Encoded] = {
+    val withMarkers = addSpecialTokens(tokens, e1, e2)
+    val joined = withMarkers.mkString(" ")
+    val pieces = tokenizer.tokenize(joined)
+    val e1s = pieces.indexOf(BertVocab.E1)
+    val e1e = pieces.indexOf(BertVocab.E1End)
+    val e2s = pieces.indexOf(BertVocab.E2)
+    val e2e = pieces.indexOf(BertVocab.E2End)
+    if (e1s < 0 || e1e < 0 || e2s < 0 || e2e < 0) None
+    else
+      Some(
+        Encoded(
+          tokenizer.convertTokensToIds(pieces),
+          Span(e1s + 1, e1e - 1),
+          Span(e2s + 1, e2e - 1)))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.triples
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.annotate.{Annotator, Gazetteer}
+import graft.kernel.{Inference, ScoringKernel}
+import graft.schema.{Span, Triple, WebPage}
+import graft.statements.{Markers, Windowing}
+import graft.tokenize.BertTokenizer
+
+/** The engine's flagship query (SURVEY.md §3.3, §7.3):
+  *
+  *   pages → filter(lang='en') → text_norm (byte-identical) → annotate
+  *   (mentions) → pair windows (±40) → marker insert + WordPiece encode →
+  *   broadcast-kernel mapPartitions scoring → argmax → (subj, pred, obj)
+  *
+  * Everything up to scoring is a NARROW pipeline — one fused map stage,
+  * no shuffle (the pair product is row-local). The only wide operations on
+  * the inference path are the final write and optional canonicalization,
+  * exactly as SURVEY.md §3.1 prescribes for 100 TB inputs.
+  */
+object TriplePipeline {
+
+  final case class Config(
+      windowSize: Int = 40,
+      batchSize: Int = 64,
+      assembleArticle: Boolean = true,
+      langs: Set[String] = Set("en"))
+
+  final case class ScoredStatement(
+      url: String,
+      docOrd: Long,
+      pairOrd: Int,
+      e1: String,
+      e2: String,
+      tokenIds: Seq[Int],
+      e1Start: Int,
+      e2Start: Int)
+
+  /** Normalized page text per url — the byte-identity surface. */
+  def normalizePages(pages: Dataset[WebPage], cfg: Config = Config()): DataFrame = {
+    import graft.textnorm.functions._
+    val base = pages
+      .filter(col("lang").isin(cfg.langs.toSeq.map(lit): _*))
+      .select(col("url"), col("text"))
+    val extracted =
+      if (cfg.assembleArticle) base.withColumn("article", assemble_article(col("text")))
+      else base.withColumn("article", col("text"))
+    extracted
+      .withColumn("text_norm", text_norm(col("article")))
+      .select(col("url"), col("text_norm"))
+  }
+
+  /** pages → encoded, kernel-ready statements. One narrow flatMap chain. */
+  def encodedStatements(
+      spark: SparkSession,
+      pages: Dataset[WebPage],
+      gaz: Broadcast[Gazetteer],
+      tokenizer: Broadcast[BertTokenizer],
+      cfg: Config = Config()): Dataset[ScoredStatement] = {
+    import spark.implicits._
+    normalizePages(pages, cfg)
+      .as[(String, String)]
+      .flatMap { case (url, textNorm) =>
+        val doc = Annotator.annotate(url, textNorm, gaz.value)
+        val docOrd = stableDocOrd(url)
+        Windowing.statements(doc, docOrd, cfg.windowSize).iterator.flatMap { st =>
+          Markers
+            .encode(tokenizer.value)(
+              st.tokens,
+              Span(st.e1s, st.e1e),
+              Span(st.e2s, st.e2e))
+            .map { enc =>
+              ScoredStatement(
+                st.url, st.docOrd, st.pairOrd, st.e1, st.e2,
+                enc.tokenIds, enc.e1Span.start, enc.e2Span.start)
+            }
+        }
+      }
+  }
+
+  /** Stable per-document order key derived from the url — reproducible
+    * under any partitioning (SURVEY.md §7.5 determinism note). */
+  def stableDocOrd(url: String): Long = {
+    // fixture urls carry the corpus line number; fall back to a hash
+    val tail = url.substring(url.lastIndexOf('/') + 1)
+    try tail.toLong
+    catch {
+      case _: NumberFormatException =>
+        util.hashing.MurmurHash3.stringHash(url).toLong & 0x7fffffffL
+    }
+  }
+
+  /** Full pipeline to (subj, pred, obj, url) triples. */
+  def run(
+      spark: SparkSession,
+      pages: Dataset[WebPage],
+      gaz: Broadcast[Gazetteer],
+      tokenizer: Broadcast[BertTokenizer],
+      kernel: Broadcast[ScoringKernel],
+      idx2rel: Broadcast[Map[Int, String]],
+      cfg: Config = Config()): Dataset[Triple] = {
+    import spark.implicits._
+    val encoded = encodedStatements(spark, pages, gaz, tokenizer, cfg)
+
+    // stable statement id: docOrd * 2^20 + pairOrd (pairOrd << 20 bound is
+    // safe: windowing caps statements per doc far below 1M)
+    val withId = encoded
+      .withColumn("id", col("docOrd") * lit(1048576L) + col("pairOrd"))
+
+    val scoreIn = withId
+      .select(col("id"), col("tokenIds"), col("e1Start"), col("e2Start"))
+      .as[Inference.ScoreInput]
+    val scored = Inference
+      .classify(spark, scoreIn, kernel, tokenizer.value.padId, cfg.batchSize)
+
+    // join predictions back to surfaces (id is unique per statement);
+    // label resolution via the broadcast idx2rel map
+    val labeled = scored
+      .withColumn("pred_label", predLabelExpr(idx2rel))
+    withId
+      .select(col("id"), col("e1"), col("e2"), col("url"))
+      .join(labeled.select(col("id"), col("pred_label")), Seq("id"))
+      .select(
+        col("e1").as("subj"),
+        col("pred_label").as("pred"),
+        col("e2").as("obj"),
+        col("url"))
+      .as[Triple]
+  }
+
+  private def predLabelExpr(idx2rel: Broadcast[Map[Int, String]]) = {
+    val entries = idx2rel.value.toSeq.sortBy(_._1)
+    val labels = array(entries.map(e => lit(e._2)): _*)
+    element_at(labels, col("pred") + 1)
+  }
+}
