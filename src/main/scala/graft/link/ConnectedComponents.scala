@@ -1,0 +1,55 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over the mention/similarity graph — iterative
+  * DataFrame min-label propagation (alternating join + min-aggregate until
+  * fixpoint), the GraphFrames-free formulation from SURVEY.md §4. Each
+  * iteration localCheckpoints to cut lineage; convergence is detected with
+  * a cheap aggregate (sum of labels is monotonically non-increasing).
+  *
+  * Iterations are O(graph diameter); entity-surface similarity graphs have
+  * tiny diameters (hubs), so this converges in a handful of rounds even at
+  * web scale. Skewed hub nodes are handled by the hash-partitioned
+  * groupBy's partial aggregation.
+  */
+object ConnectedComponents {
+
+  /** @param edges (src: long, dst: long) undirected
+    * @return (node: long, component: long) — component = min node id */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .unionAll(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+
+    var labels = sym
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
+
+    while (!converged && iter < maxIter) {
+      // candidate labels: own label + min neighbor label
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("component", "nbr_comp"), Seq("dst"))
+        .select(col("src").as("node"), col("nbr_comp").as("component"))
+      val next = labels
+        .unionAll(viaNeighbors)
+        .groupBy("node")
+        .agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val sumNow = next.agg(sum(col("component"))).collect()(0).getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,142 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH candidate blocking for entity linking (north_star
+  * requirement; no counterpart in the reference, which canonicalizes by
+  * exact surface form only — SURVEY.md §2 note). Generalizes §2.9.
+  *
+  * Scale design: candidate generation is banded LSH — signatures are
+  * computed in a narrow map, then ONE shuffle groups rows by (band, hash);
+  * pairs are emitted per bucket with a bucket-size cap so a degenerate hot
+  * bucket (skew!) cannot go quadratic. Verification re-computes exact
+  * shingle Jaccard per candidate pair only.
+  */
+object MinHashLSH {
+
+  /** Character k-gram shingles of a string (k=3 default). */
+  def shingles(s: String, k: Int = 3): Set[Long] = {
+    if (s.length < k) return Set(hash64(s, 0x9747b28cL))
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i + k <= s.length) {
+      out += hash64(s.substring(i, i + k), 0x9747b28cL)
+      i += 1
+    }
+    out.toSet
+  }
+
+  /** xxhash-style 64-bit string hash with seed (splitmix over chars). */
+  def hash64(s: String, seed: Long): Long = {
+    var h = seed ^ (s.length * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature: numHashes permutations approximated by seeded
+    * re-hashing of the shingle hashes (standard practice). */
+  def signature(sh: Set[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      var i = 0
+      while (i < numHashes) {
+        var h = s + i * 0x9e3779b97f4a7c15L
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= h >>> 31
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  def exactJaccard(a: Set[Long], b: Set[Long]): Double = {
+    val inter = a.intersect(b).size.toDouble
+    val union = a.size + b.size - inter
+    if (union == 0) 1.0 else inter / union
+  }
+
+  /** Candidate edges (idA < idB) between rows whose texts land in the same
+    * LSH band bucket and pass exact shingle-Jaccard >= threshold.
+    *
+    * @param df        input with (idCol: long, textCol: string)
+    * @param maxBucket hot-bucket cap: buckets larger than this are split by
+    *                  a salt of the id (keeps worst case linear; at 100 TB
+    *                  a hot surface form otherwise makes one task quadratic)
+    */
+  def similarPairs(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 48,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
+
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sig = signature(shingles(text, shingleK), numHashes)
+          val bandHashes = Array.tabulate(bands) { b =>
+            var h = 0x2545f4914f6cdd1dL ^ b
+            var r = 0
+            while (r < rowsPerBand) {
+              h = h * 0x100000001b3L ^ sig(b * rowsPerBand + r)
+              r += 1
+            }
+            h
+          }
+          (id, text, bandHashes)
+        }
+      }
+      .toDF("id", "text", "band_hashes")
+
+    val buckets = sigs
+      .select(col("id"), col("text"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
+
+    // hot-bucket cap: count bucket sizes, drop pathological buckets
+    val sized = buckets
+      .join(
+        buckets.groupBy("band", "bh").count().filter(col("count") <= maxBucket),
+        Seq("band", "bh"),
+        "left_semi")
+
+    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
+    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
+    val cand = a
+      .join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b")
+      .distinct()
+
+    val verify = udf { (ta: String, tb: String) =>
+      exactJaccard(shingles(ta, shingleK), shingles(tb, shingleK))
+    }
+    cand
+      .withColumn("jaccard", verify(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}
