@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, then produces the north-rule scaling evidence — the
+  * SAME KG-pipeline job on the SAME synthetic corpus at local[8] vs
+  * local[32] (sandbox stand-in for N vs 4N executors; BASELINE.md) —
+  * and prints ONE JSON line.
+  *
+  * efficiency = (t_8 / t_32) / 4  (1.0 = perfect linear scaling)
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = GraftSession
+      .builder(cores, s"graft-bench-$cores")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "20000").toLong
+
+    // ---- query battery at the driver-requested parallelism ----
+    var spark = session(cpus)
+    // warm the JIT + parquet footers once with the cheapest query
+    try SparkEntry.queries("q12_lang_profile")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, _) =
+        try time(fn(spark, sfDir).count())
+        catch { case _: Throwable => (-1.0, 0L) }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- scaling: same job, same input, two parallelism levels ----
+    def kgRun(s: SparkSession, n: Long): Long =
+      SparkEntry.kgTriples(s, n, canonical = false).count()
+
+    kgRun(spark, 2000) // warmup at current level
     spark.stop()
+
+    spark = session(8)
+    kgRun(spark, 2000) // warmup
+    val (t8, triples8) = time(kgRun(spark, scalePages))
+    spark.stop()
+
+    spark = session(32)
+    kgRun(spark, 2000) // warmup
+    val (t32, triples32) = time(kgRun(spark, scalePages))
+    spark.stop()
+
+    require(triples8 == triples32, s"scaling runs disagree: $triples8 vs $triples32")
+    val efficiency = (t8 / t32) / 4.0
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val scaling =
+      f"""{"pages":$scalePages,"triples":$triples32,"local8_sec":$t8%.3f,"local32_sec":$t32%.3f,""" +
+        f""""local8_triples_per_sec":${triples8 / t8}%.1f,"local32_triples_per_sec":${triples32 / t32}%.1f,""" +
+        f""""efficiency":$efficiency%.3f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

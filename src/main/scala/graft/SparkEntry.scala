@@ -1,13 +1,372 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.annotate.Gazetteer
+import graft.eval.SemEval
+import graft.fixtures.{Corpus, FixtureVocab, SemEvalFixture}
+import graft.kernel.{ScoringKernel, StubKernel}
+import graft.ops.{Dedup, KgOps, Multimodal, Similarity, TextStats}
+import graft.tokenize.{BertVocab, Vocab}
+import graft.triples.TriplePipeline
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops battery), each with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible; non-SQL operators
+  * (LSH clustering, simhash, the full KG pipeline) are rows-only checks. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** StubKernel + label maps, trained once on the SemEval fixture
+    * (driver-side model fitting, broadcast for inference — §7.5). */
+  lazy val trainedKernel: (StubKernel, Map[String, Int], Map[Int, String]) = {
+    val tok = Vocab.fixtureTokenizer
+    val train = SemEval.parseLines(SemEvalFixture.trainLines.toIndexedSeq)
+    val (rel2idx, idx2rel) = SemEval.labelEncode(train.map(_.relation))
+    def enc(s: String) =
+      tok.convertTokensToIds(BertVocab.Cls +: tok.tokenize(s) :+ BertVocab.Sep)
+    val k = StubKernel.train(
+      train.map(ex => (enc(ex.sentence), rel2idx(ex.relation))),
+      rel2idx.size, tok.padId)
+    (k, rel2idx, idx2rel)
+  }
+
+  /** Flagship: the full KG pipeline (normalize → mentions → windows →
+    * encode → broadcast-kernel scoring → triples) over the synthetic page
+    * corpus. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = kgTriples(spark, 256, canonical = false)
+
+  def kgTriples(spark: SparkSession, nPages: Long, canonical: Boolean): DataFrame = {
+    val sc = spark.sparkContext
+    val (kernel, _, idx2rel) = trainedKernel
+    val triples = TriplePipeline.run(
+      spark,
+      Corpus.generate(spark, nPages),
+      sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+      sc.broadcast(Vocab.fixtureTokenizer),
+      sc.broadcast(kernel: ScoringKernel),
+      sc.broadcast(idx2rel)).toDF()
+    if (!canonical) triples
+    else {
+      val eDim = triples.select(col("subj").as("e_text"))
+        .unionAll(triples.select(col("obj").as("e_text")))
+        .distinct()
+        .withColumn("e_id", xxhash64(col("e_text")))
+      val linked = graft.link.EntityLinker.canonicalize(spark, eDim, threshold = 0.7)
+      graft.link.EntityLinker.canonicalizeTriples(triples, linked)
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (scan/filter/agg/join/window/semi/anti) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      val li = s.read.parquet(t(d, "lineitem"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // exact decimal arithmetic BEFORE the sum: per-row double->decimal
+          // rounding of a product is engine-dependent at half-cent ties
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+            .cast("decimal(38,6)").as("sum_disc_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val li = s.read.parquet(t(d, "lineitem"))
+      val su = s.read.parquet(t(d, "supplier"))
+      val na = s.read.parquet(t(d, "nation"))
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,6)").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+    "q03_top_orders_per_cust" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = s.read.parquet(t(d, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q04_priority_with_late_items" -> ((s, d) => {
+      val o = s.read.parquet(t(d, "orders"))
+      val li = s.read.parquet(t(d, "lineitem"))
+      val late = li.filter(col("l_shipdate") > lit("1995-06-01").cast("timestamp"))
+      o.join(late.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q05_customers_without_orders" -> ((s, d) => {
+      val c = s.read.parquet(t(d, "customer"))
+      val o = s.read.parquet(t(d, "orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q06_events_hourly" -> ((s, d) => {
+      s.read.parquet(t(d, "events"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- text normalization + analysis over documents ----
+    "q10_doc_normalize" -> ((s, d) => {
+      import graft.textnorm.functions._
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), text_norm(col("text")).as("text_norm"))
+        .orderBy(col("doc_id"))
+    }),
+    "q11_token_counts" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q12_lang_profile" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+    "q13_exact_dedup" -> ((s, d) => {
+      Dedup.exact(s.read.parquet(t(d, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q14_quality_scores" -> ((s, d) => {
+      TextStats.qualityScore(s.read.parquet(t(d, "documents")), "text")
+        .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+          col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "q15_fingerprints" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q16_distinct_trigrams" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"),
+          size(TextStats.distinctNgrams(col("text"), 3)).as("n_trigrams"))
+        .orderBy(col("doc_id"))
+    }),
+    "q17_langid" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), TextStats.langIdExpr(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup / similarity ----
+    "q18_minhash_clusters" -> ((s, d) => {
+      Dedup.minhashClusters(s, s.read.parquet(t(d, "documents")), "doc_id", "text",
+        threshold = 0.8).orderBy(col("doc_id"))
+    }),
+    "q19_simhash" -> ((s, d) => {
+      Dedup.simhashDF(s, s.read.parquet(t(d, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q20_ann_top1" -> ((s, d) => {
+      val e = s.read.parquet(t(d, "embeddings"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"))
+    }),
+    "q21_embedding_sums" -> ((s, d) => {
+      s.read.parquet(t(d, "embeddings"))
+        .select(col("vec_id"),
+          round(aggregate(col("embedding"), lit(0.0), (a, b) => a + b), 4).as("comp_sum"))
+        .orderBy(col("vec_id"))
+    }),
+    "q22_ann_lsh" -> ((s, d) => {
+      val e = s.read.parquet(t(d, "embeddings"))
+      Similarity.lshTopK(s, e.filter(col("vec_id") < 32), e, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- KG operators over documents ----
+    "q30_mentions" -> ((s, d) => {
+      KgOps.mentions(s, s.read.parquet(t(d, "documents")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    "q31_band_pair_counts" -> ((s, d) => {
+      KgOps.bandPairCounts(KgOps.mentions(s, s.read.parquet(t(d, "documents"))))
+        .orderBy(col("doc_id"))
+    }),
+    "q32_mention_dict" -> ((s, d) => {
+      KgOps.dictEncode(KgOps.mentions(s, s.read.parquet(t(d, "documents"))))
+        .orderBy(col("e_id"))
+    }),
+    "q33_pair_freq" -> ((s, d) => {
+      KgOps.pairFreq(
+        KgOps.bandPairs(KgOps.mentions(s, s.read.parquet(t(d, "documents")))), 2L)
+        .orderBy(col("m1"), col("m2"))
+    }),
+    "q34_mention_components" -> ((s, d) => {
+      KgOps.mentionComponents(s, KgOps.mentions(s, s.read.parquet(t(d, "documents"))))
+        .orderBy(col("e_id"))
+    }),
+
+    // ---- full KG pipeline (rows-only; non-SQL) ----
+    "q40_kg_triples" -> ((s, _) => kgTriples(s, 512, canonical = false)),
+    "q41_kg_triples_canonical" -> ((s, _) => kgTriples(s, 512, canonical = true)),
+    "q42_mtb_pools" -> ((s, _) => {
+      val sc = s.sparkContext
+      graft.statements.MtbDataset.build(
+        s, Corpus.generate(s, 512),
+        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+        sc.broadcast(Vocab.fixtureTokenizer),
+        minCount = 2, minPoolSize = 2).pools
+    }),
+
+    // ---- streaming ----
+    "q50_stream_hourly" -> ((s, d) => {
+      graft.streaming.EventStream.hourlyAgg(s, t(d, "events"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- multimodal plumbing ----
+    "q60_media_meta" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeBatch(s, docs, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    }),
+    "q61_media_bytes" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), octet_length(col("text")).as("byte_len"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val gazArr = KgOps.DocGazetteer.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopList =
+    TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val mentionCte =
+    s"""SELECT doc_id, g.w AS mention,
+        list_position(regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' '), g.w) - 1 AS pos
+        FROM documents, (SELECT unnest($gazArr) AS w) g"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         count(*) AS count_order,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q03_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q04_priority_with_late_items" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1995-06-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q05_customers_without_orders" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY 1""",
+    "q06_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS total_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q10_doc_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text_norm
+         FROM documents ORDER BY doc_id""",
+    "q11_token_counts" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q12_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q13_exact_dedup" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+         count(*) OVER (PARTITION BY text) AS dup_count
+         FROM documents ORDER BY doc_id""",
+    "q14_quality_scores" ->
+      s"""SELECT doc_id,
+          len(toks) AS word_count,
+          round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+          round(CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+                FROM documents) ORDER BY doc_id""",
+    "q15_fingerprints" ->
+      """SELECT doc_id, CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q16_distinct_trigrams" ->
+      """SELECT doc_id, len(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_trigrams
+         FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+               FROM documents) ORDER BY doc_id""",
+    "q20_ann_top1" ->
+      """SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rn
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
+         WHERE rn = 1 ORDER BY query_id""",
+    "q21_embedding_sums" ->
+      """SELECT vec_id, round(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE))),
+           (a, b) -> a + b), 4) AS comp_sum
+         FROM embeddings ORDER BY vec_id""",
+    "q30_mentions" ->
+      s"""WITH m AS ($mentionCte)
+         SELECT doc_id, mention, pos FROM m WHERE pos >= 0
+         ORDER BY doc_id, pos""",
+    "q31_band_pair_counts" ->
+      s"""WITH m AS ($mentionCte)
+         SELECT a.doc_id, count(*) AS n_pairs
+         FROM m a JOIN m b ON a.doc_id = b.doc_id
+         WHERE a.pos >= 0 AND b.pos >= 0 AND b.pos - a.pos BETWEEN 1 AND 40
+         GROUP BY 1 ORDER BY 1""",
+    "q32_mention_dict" ->
+      s"""WITH m AS ($mentionCte)
+         SELECT mention,
+           row_number() OVER (ORDER BY min(doc_id * 1000000 + pos)) - 1 AS e_id
+         FROM m WHERE pos >= 0 GROUP BY mention
+         ORDER BY e_id""",
+    "q33_pair_freq" ->
+      s"""WITH m AS ($mentionCte)
+         SELECT a.mention AS m1, b.mention AS m2, count(*) AS cnt
+         FROM m a JOIN m b ON a.doc_id = b.doc_id
+         WHERE a.pos >= 0 AND b.pos >= 0 AND b.pos - a.pos BETWEEN 1 AND 40
+         GROUP BY 1,2 HAVING count(*) >= 2 ORDER BY 1,2""",
+    "q50_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS total_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q61_media_bytes" ->
+      """SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id"""
+  )
 }

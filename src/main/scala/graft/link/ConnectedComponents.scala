@@ -30,9 +30,14 @@ object ConnectedComponents {
       .withColumn("component", col("node"))
       .localCheckpoint(true)
 
-    var converged = false
+    def labelSum(df: DataFrame): Long = {
+      val v = df.agg(coalesce(sum(col("component")), lit(0L))).collect()(0)
+      v.getLong(0)
+    }
+
+    var converged = labels.isEmpty
     var iter = 0
-    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
 
     while (!converged && iter < maxIter) {
       // candidate labels: own label + min neighbor label
@@ -44,7 +49,7 @@ object ConnectedComponents {
         .groupBy("node")
         .agg(min("component").as("component"))
         .localCheckpoint(true)
-      val sumNow = next.agg(sum(col("component"))).collect()(0).getLong(0)
+      val sumNow = labelSum(next)
       converged = sumNow == prevSum
       prevSum = sumNow
       labels = next

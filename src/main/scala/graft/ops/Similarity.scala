@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * - [[cosineCol]]: pure Column cosine (zip_with + aggregate → whole-stage
+  *   codegen, no UDF)
+  * - [[bruteForceTopK]]: exact baseline — broadcast the (small) query side
+  *   against the corpus, rank per query. The corpus side streams; only the
+  *   query side is materialized, so this scales to any corpus size as long
+  *   as queries fit in a broadcast.
+  * - [[lshTopK]]: the scale path — random-hyperplane LSH buckets shrink the
+  *   candidate set from |corpus| to bucket-local before exact re-ranking;
+  *   multi-probe via several independent tables keeps recall high.
+  */
+object Similarity {
+
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def normCol(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /** Exact top-k neighbors for each query vector.
+    * @param queries (id, embedding) — must be broadcastable
+    * @param corpus  (id, embedding) — arbitrarily large
+    * @return (query_id, neighbor_id, rank) rank 1..k by cosine desc,
+    *         neighbor_id asc on exact ties (deterministic) */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Random-hyperplane signature (nBits) of a float vector — pure function
+    * of (vector, seed); the hyperplanes are derived from splitmix so every
+    * executor regenerates them identically with no driver state. */
+  def hyperplaneSig(vec: Array[Float], nBits: Int, seed: Long): Int = {
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) {
+        // deterministic pseudo-gaussian component for (bit, dim)
+        var h = seed ^ (b * 0x9e3779b97f4a7c15L) ^ (i * 0xbf58476d1ce4e5b9L)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= h >>> 31
+        val comp = (h.toDouble / Long.MaxValue)
+        dot += comp * vec(i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: candidates share a signature in at least one of
+    * `tables` independent hyperplane tables; exact cosine re-rank inside
+    * the candidate set. Returns same schema as bruteForceTopK (approximate
+    * contents). */
+  def lshTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 12,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+
+    def withSigs(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, vec) =>
+          (0 until tables).map { t =>
+            (id, vec, t, hyperplaneSig(vec, nBits, 0x5eed + t * 7919L))
+          }
+        }
+        .toDF(s"${side}_id", s"${side}_vec", "table", "sig")
+
+    val qs = broadcast(withSigs(queries, "query"))
+    val cs = withSigs(corpus, "neighbor")
+    val cand = cs
+      .join(qs, Seq("table", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
+      .distinct()
+      .withColumn("cos", cosineCol(col("query_vec"), col("neighbor_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}
