@@ -233,6 +233,42 @@ object SparkEntry {
         minCount = 2, minPoolSize = 2).pools
     }),
 
+    "q43_pool_pair_scores" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = s.sparkContext
+      val ds = graft.statements.MtbDataset.build(
+        s, Corpus.generate(s, 256),
+        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+        sc.broadcast(Vocab.fixtureTokenizer),
+        minCount = 2, minPoolSize = 2)
+      val poolId = col("e1_id") * lit(1000000L) + col("e2_id")
+      val embedded = graft.kernel.PairScoring.embed(
+        s, ds.tokenizedRelations.withColumn("pool_id", poolId))
+      graft.kernel.PairScoring.positivePairScores(embedded)
+        .withColumn("score", round(col("score"), 6))
+    }),
+    "q44_training_augment" -> ((s, _) => {
+      import s.implicits._
+      val sc = s.sparkContext
+      val tokB = sc.broadcast(Vocab.fixtureTokenizer)
+      val ds = graft.statements.MtbDataset.build(
+        s, Corpus.generate(s, 256),
+        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+        tokB, minCount = 2, minPoolSize = 2)
+      ds.tokenizedRelations
+        .select(col("relation_id"), col("token_ids"), col("e1_span"), col("e2_span"))
+        .as[(Long, Seq[Int], Seq[Int], Seq[Int])]
+        .filter(r => graft.statements.Masking.lengthOk(r._2, 70))
+        .map { case (rid, ids, s1, s2) =>
+          val (masked, pos, labels, starts) = graft.statements.Masking.augment(
+            tokB.value, ids,
+            graft.schema.Span(s1.head, s1.last),
+            graft.schema.Span(s2.head, s2.last), rid, epoch = 0)
+          (rid, masked, pos, labels, starts._1, starts._2)
+        }
+        .toDF("relation_id", "masked_ids", "masked_pos", "labels", "e1_start", "e2_start")
+    }),
+
     // ---- streaming ----
     "q50_stream_hourly" -> ((s, d) => {
       graft.streaming.EventStream.hourlyAgg(s, t(d, "events"))

@@ -51,6 +51,20 @@ object SemEval {
     }
   }
 
+  /** File-based source (§2.1/2.2): wholetext read keeps the 4-line record
+    * structure intact per file; directories/globs are handled by Spark's
+    * parallel file listing. Records parse per-file, distributed. */
+  def read(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idOffset: Int = 0): org.apache.spark.sql.Dataset[SemEvalExample] = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .textFile(path)
+      .flatMap(content => parseLines(content.split("\n", -1).toIndexedSeq, idOffset))
+  }
+
   /** First-appearance label encoding (`semeval_dataloader.py:89-99`):
     * pandas .unique() preserves encounter order. */
   def labelEncode(relations: Seq[String]): (Map[String, Int], Map[Int, String]) = {

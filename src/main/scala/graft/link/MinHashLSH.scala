@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Character k-gram shingles of a string (k=3 default). */
+  /** Character k-gram shingles — right for SHORT strings (entity surfaces),
+    * where edits move few grams. */
   def shingles(s: String, k: Int = 3): Set[Long] = {
     if (s.length < k) return Set(hash64(s, 0x9747b28cL))
     val out = scala.collection.mutable.HashSet.empty[Long]
@@ -26,6 +27,28 @@ object MinHashLSH {
     }
     out.toSet
   }
+
+  /** Word k-gram shingles — right for DOCUMENTS: two texts over the same
+    * vocabulary only collide when word ORDER matches, so LSH candidate
+    * counts stay linear even on closed-vocabulary corpora (char-grams would
+    * make every doc a near-dup of every other and go quadratic). */
+  def wordShingles(s: String, k: Int = 3): Set[Long] = {
+    val words = graft.textnorm.PyText.pySplit(s)
+    if (words.length < k) return Set(hash64(words.mkString(" "), 0x9747b28cL))
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i + k <= words.length) {
+      var h = 0x9747b28cL
+      var j = i
+      while (j < i + k) { h = h * 0x100000001b3L ^ hash64(words(j), 77L); j += 1 }
+      out += h
+      i += 1
+    }
+    out.toSet
+  }
+
+  def shinglesOf(s: String, k: Int, mode: String): Set[Long] =
+    if (mode == "word") wordShingles(s, k) else shingles(s, k)
 
   /** xxhash-style 64-bit string hash with seed (splitmix over chars). */
   def hash64(s: String, seed: Long): Long = {
@@ -88,7 +111,8 @@ object MinHashLSH {
       bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 200,
+      shingleMode: String = "char"): DataFrame = {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
@@ -98,7 +122,7 @@ object MinHashLSH {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val sig = signature(shingles(text, shingleK), numHashes)
+          val sig = signature(shinglesOf(text, shingleK, shingleMode), numHashes)
           val bandHashes = Array.tabulate(bands) { b =>
             var h = 0x2545f4914f6cdd1dL ^ b
             var r = 0
@@ -132,9 +156,13 @@ object MinHashLSH {
       .distinct()
 
     val verify = udf { (ta: String, tb: String) =>
-      exactJaccard(shingles(ta, shingleK), shingles(tb, shingleK))
+      exactJaccard(shinglesOf(ta, shingleK, shingleMode), shinglesOf(tb, shingleK, shingleMode))
     }
     cand
+      // spread the verify work: AQE tends to coalesce the small bucket
+      // shuffle to one partition, which would serialize the expensive
+      // exact-Jaccard stage
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("jaccard", verify(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -42,7 +42,8 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val edges = MinHashLSH
       .similarPairs(spark, docs.select(col(idCol), col(textCol)), idCol, textCol,
-        numHashes = numHashes, bands = bands, threshold = threshold)
+        numHashes = numHashes, bands = bands, threshold = threshold,
+        shingleMode = "word")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comps = ConnectedComponents.run(spark, edges)
     docs

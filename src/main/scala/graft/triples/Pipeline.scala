@@ -93,7 +93,16 @@ object TriplePipeline {
     }
   }
 
-  /** Full pipeline to (subj, pred, obj, url) triples. */
+  /** Full pipeline to (subj, pred, obj, url) triples — FUSED: scoring runs
+    * inside the same mapPartitions pass that carries the entity surfaces,
+    * so the whole pipeline is ONE narrow stage (scan → normalize → annotate
+    * → window → encode → batch-score → label). No join, no shuffle, no
+    * second evaluation of the narrow chain — this is the plan that holds at
+    * 100 TB: cost is exactly one pass over the pages.
+    *
+    * (The earlier staged formulation — Inference.classify + join back on a
+    * statement id — lives on in triples.Checkpointed where materialization
+    * between stages is the point.) */
   def run(
       spark: SparkSession,
       pages: Dataset[WebPage],
@@ -103,37 +112,28 @@ object TriplePipeline {
       idx2rel: Broadcast[Map[Int, String]],
       cfg: Config = Config()): Dataset[Triple] = {
     import spark.implicits._
-    val encoded = encodedStatements(spark, pages, gaz, tokenizer, cfg)
-
-    // stable statement id: docOrd * 2^20 + pairOrd (pairOrd << 20 bound is
-    // safe: windowing caps statements per doc far below 1M)
-    val withId = encoded
-      .withColumn("id", col("docOrd") * lit(1048576L) + col("pairOrd"))
-
-    val scoreIn = withId
-      .select(col("id"), col("tokenIds"), col("e1Start"), col("e2Start"))
-      .as[Inference.ScoreInput]
-    val scored = Inference
-      .classify(spark, scoreIn, kernel, tokenizer.value.padId, cfg.batchSize)
-
-    // join predictions back to surfaces (id is unique per statement);
-    // label resolution via the broadcast idx2rel map
-    val labeled = scored
-      .withColumn("pred_label", predLabelExpr(idx2rel))
-    withId
-      .select(col("id"), col("e1"), col("e2"), col("url"))
-      .join(labeled.select(col("id"), col("pred_label")), Seq("id"))
-      .select(
-        col("e1").as("subj"),
-        col("pred_label").as("pred"),
-        col("e2").as("obj"),
-        col("url"))
-      .as[Triple]
-  }
-
-  private def predLabelExpr(idx2rel: Broadcast[Map[Int, String]]) = {
-    val entries = idx2rel.value.toSeq.sortBy(_._1)
-    val labels = array(entries.map(e => lit(e._2)): _*)
-    element_at(labels, col("pred") + 1)
+    val batchSize = cfg.batchSize
+    encodedStatements(spark, pages, gaz, tokenizer, cfg)
+      .mapPartitions { rows =>
+        val k = kernel.value
+        val labels = idx2rel.value
+        rows.grouped(batchSize).flatMap { group =>
+          val batch = group.toArray
+          val padId = tokenizer.value.padId
+          val maxLen = if (batch.isEmpty) 0 else batch.map(_.tokenIds.length).max
+          val padded = batch.map { r =>
+            val ids = r.tokenIds.toArray
+            val out =
+              if (ids.length == maxLen) ids
+              else ids ++ Array.fill(maxLen - ids.length)(padId)
+            (out, r.e1Start, r.e2Start)
+          }
+          val logits = k.scoreBatch(padded)
+          batch.indices.map { i =>
+            val r = batch(i)
+            Triple(r.e1, labels(graft.kernel.StubKernel.argmax(logits(i))), r.e2, r.url)
+          }
+        }
+      }
   }
 }
