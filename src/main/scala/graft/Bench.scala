@@ -29,7 +29,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "20000").toLong
+    // large enough that compute dominates the ~1-2s of fixed job overhead,
+    // otherwise scaling efficiency measures the constant, not the engine
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "200000").toLong
 
     // ---- query battery at the driver-requested parallelism ----
     var spark = session(cpus)

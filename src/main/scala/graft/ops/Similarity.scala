@@ -28,8 +28,14 @@ object Similarity {
   def normCol(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+  /** Codegen'd primitive-loop cosine (see CosineSimExpr) — the HOF
+    * formulation (dotCol/normCol) is kept for reference/oracles but is
+    * interpreted and ~1000x slower per row on the ANN hot path. */
+  def cosineCol(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** Exact top-k neighbors for each query vector.
     * @param queries (id, embedding) — must be broadcastable
