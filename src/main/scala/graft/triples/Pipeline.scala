@@ -113,25 +113,39 @@ object TriplePipeline {
       cfg: Config = Config()): Dataset[Triple] = {
     import spark.implicits._
     val batchSize = cfg.batchSize
-    encodedStatements(spark, pages, gaz, tokenizer, cfg)
+    val windowSize = cfg.windowSize
+    normalizePages(pages, cfg)
+      .as[(String, String)]
       .mapPartitions { rows =>
+        // one partition-local pass: annotate -> window -> encode -> batch
+        // score -> label. No intermediate Dataset boundary, so token arrays
+        // never round-trip through InternalRow encoding.
         val k = kernel.value
         val labels = idx2rel.value
-        rows.grouped(batchSize).flatMap { group =>
+        val tok = tokenizer.value
+        val padId = tok.padId
+        val statements = rows.flatMap { case (url, textNorm) =>
+          val doc = Annotator.annotate(url, textNorm, gaz.value)
+          Windowing.statements(doc, stableDocOrd(url), windowSize).iterator.flatMap { st =>
+            Markers
+              .encode(tok)(st.tokens, Span(st.e1s, st.e1e), Span(st.e2s, st.e2e))
+              .map(enc => (st.e1, st.e2, url, enc.tokenIds, enc.e1Span.start, enc.e2Span.start))
+          }
+        }
+        statements.grouped(batchSize).flatMap { group =>
           val batch = group.toArray
-          val padId = tokenizer.value.padId
-          val maxLen = if (batch.isEmpty) 0 else batch.map(_.tokenIds.length).max
+          val maxLen = if (batch.isEmpty) 0 else batch.map(_._4.length).max
           val padded = batch.map { r =>
-            val ids = r.tokenIds.toArray
+            val ids = r._4.toArray
             val out =
               if (ids.length == maxLen) ids
               else ids ++ Array.fill(maxLen - ids.length)(padId)
-            (out, r.e1Start, r.e2Start)
+            (out, r._5, r._6)
           }
           val logits = k.scoreBatch(padded)
           batch.indices.map { i =>
             val r = batch(i)
-            Triple(r.e1, labels(graft.kernel.StubKernel.argmax(logits(i))), r.e2, r.url)
+            Triple(r._1, labels(graft.kernel.StubKernel.argmax(logits(i))), r._2, r._3)
           }
         }
       }
