@@ -26,9 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // batch-throughput GC: the fused pipeline is allocation-heavy at 32
-  // threads; ParallelGC beats G1 on pure-throughput local runs, and 8g is
-  // far too small for local[32] (GC-bound) on this 128 GiB box
+  // Firecracker microVM: first-touch page faults are very slow (measured
+  // ~8 cores of pure kernel time when the GC keeps growing/moving a large
+  // heap). Fix: FIXED-size, pre-touched heap — fault every page exactly
+  // once at JVM start, then reuse; ParallelGC for batch throughput.
   "-XX:+UseParallelGC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:-UseAdaptiveSizePolicy",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -34,14 +34,25 @@ final class StubKernel(
     unseen: Array[Float])
     extends ScoringKernel {
 
+  // dense token->weights table: the scoring loop is the innermost hot path
+  // of the fused pipeline; a boxed Map lookup per token costs more than the
+  // 19 adds it guards. Rebuilt lazily per executor after broadcast.
+  @transient private lazy val dense: Array[Array[Float]] = {
+    val maxId = if (logLik.isEmpty) 0 else logLik.keys.max
+    val arr = Array.fill(maxId + 1)(unseen)
+    logLik.foreach { case (t, w) => arr(t) = w }
+    arr
+  }
+
   def scoreOne(tokenIds: Array[Int]): Array[Float] = {
+    val d = dense
     val s = new Array[Float](nClasses)
     System.arraycopy(logPrior, 0, s, 0, nClasses)
     var i = 0
     while (i < tokenIds.length) {
       val t = tokenIds(i)
       if (t != padId) {
-        val w = logLik.getOrElse(t, unseen)
+        val w = if (t >= 0 && t < d.length) d(t) else unseen
         var c = 0
         while (c < nClasses) { s(c) += w(c); c += 1 }
       }

@@ -137,12 +137,25 @@ final class BertTokenizer(
         else token0
       split ++= runSplitOnPunc(token)
     }
-    PyText.pySplit(split.mkString(" ")).toSeq
+    // reference re-joins and re-splits; pieces can contain neither
+    // whitespace nor be empty here, so the filter is semantically identical
+    // and allocation-free
+    split.filter(_.nonEmpty).toSeq
   }
 
   private def cleanText(text: String): String = {
-    val sb = new StringBuilder(text.length)
+    // zero-copy fast path: most pipeline text is already plain ASCII words
     var i = 0
+    var dirty = false
+    while (!dirty && i < text.length) {
+      val c = text.charAt(i)
+      if (c != ' ' && (c < '!' || c == '�' || isControl(c) || isWhitespaceCp(c)))
+        dirty = true
+      i += 1
+    }
+    if (!dirty) return text
+    val sb = new StringBuilder(text.length)
+    i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
       val step = Character.charCount(cp)
@@ -155,8 +168,15 @@ final class BertTokenizer(
   }
 
   private def tokenizeChineseChars(text: String): String = {
-    val sb = new StringBuilder(text.length)
     var i = 0
+    var any = false
+    while (!any && i < text.length) {
+      if (text.charAt(i) >= '㐀') any = true
+      i += 1
+    }
+    if (!any) return text // zero-copy fast path: no CJK-range chars at all
+    val sb = new StringBuilder(text.length)
+    i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
       val step = Character.charCount(cp)
@@ -198,7 +218,12 @@ final class BertTokenizer(
 
   def wordpiece(token: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
-    PyText.pySplit(token).foreach { word =>
+    // whitespace_tokenize fast path: basic-tokenizer output never contains
+    // whitespace, so the per-token re-split is a single-element identity
+    val words =
+      if (token.forall(c => !PyText.isPySpace(c)) && token.nonEmpty) token :: Nil
+      else PyText.pySplit(token).toList
+    words.foreach { word =>
       if (word.length > maxInputCharsPerWord) out += Unk
       else {
         val subTokens = ArrayBuffer.empty[String]
