@@ -42,10 +42,33 @@ object Markers {
   def encode(tokenizer: BertTokenizer)(
       tokens: Seq[String],
       e1: Span,
+      e2: Span): Option[Encoded] =
+    encodeCached(tokenizer, null)(tokens, e1, e2)
+
+  /** encode with per-partition memoization: tokenize(" ".join(ts)) equals
+    * the concatenation of tokenize(t) per element (tokens contain no
+    * whitespace, and atomic markers cannot span a joined boundary), so each
+    * distinct surface tokenizes once per partition instead of once per
+    * statement — the statement stage re-tokenizes a near-closed vocabulary. */
+  def encodeCached(
+      tokenizer: BertTokenizer,
+      cache: java.util.HashMap[String, Seq[String]])(
+      tokens: Seq[String],
+      e1: Span,
       e2: Span): Option[Encoded] = {
     val withMarkers = addSpecialTokens(tokens, e1, e2)
-    val joined = withMarkers.mkString(" ")
-    val pieces = tokenizer.tokenize(joined)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    withMarkers.foreach { t =>
+      val pcs =
+        if (cache == null) tokenizer.tokenize(t)
+        else {
+          var c = cache.get(t)
+          if (c == null) { c = tokenizer.tokenize(t); cache.put(t, c) }
+          c
+        }
+      buf ++= pcs
+    }
+    val pieces = buf.toSeq
     val e1s = pieces.indexOf(BertVocab.E1)
     val e1e = pieces.indexOf(BertVocab.E1End)
     val e2s = pieces.indexOf(BertVocab.E2)

@@ -124,11 +124,14 @@ object TriplePipeline {
         val labels = idx2rel.value
         val tok = tokenizer.value
         val padId = tok.padId
+        // per-partition wordpiece memo: statement windows draw from a
+        // near-closed token vocabulary, so each surface tokenizes once
+        val cache = new java.util.HashMap[String, Seq[String]](4096)
         val statements = rows.flatMap { case (url, textNorm) =>
           val doc = Annotator.annotate(url, textNorm, gaz.value)
           Windowing.statements(doc, stableDocOrd(url), windowSize).iterator.flatMap { st =>
             Markers
-              .encode(tok)(st.tokens, Span(st.e1s, st.e1e), Span(st.e2s, st.e2e))
+              .encodeCached(tok, cache)(st.tokens, Span(st.e1s, st.e1e), Span(st.e2s, st.e2e))
               .map(enc => (st.e1, st.e2, url, enc.tokenIds, enc.e1Span.start, enc.e2Span.start))
           }
         }
