@@ -31,7 +31,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // large enough that compute dominates the ~1-2s of fixed job overhead,
     // otherwise scaling efficiency measures the constant, not the engine
-    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "200000").toLong
+    val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "1000000").toLong
 
     // ---- query battery at the driver-requested parallelism ----
     var spark = session(cpus)

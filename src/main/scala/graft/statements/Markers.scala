@@ -33,7 +33,9 @@ object Markers {
     out.toSeq
   }
 
-  final case class Encoded(tokenIds: Seq[Int], e1Span: Span, e2Span: Span)
+  /** tokenIds as a primitive array: the encode→score path materializes one
+    * per statement; Seq[Int] would box every id. */
+  final case class Encoded(tokenIds: Array[Int], e1Span: Span, e2Span: Span)
 
   /** Tokenize the marker-bearing string and relocate spans to wordpiece
     * coordinates, inside the marker pairs: (e1_s+1, e1_e-1). Rows whose
@@ -68,17 +70,19 @@ object Markers {
         }
       buf ++= pcs
     }
-    val pieces = buf.toSeq
-    val e1s = pieces.indexOf(BertVocab.E1)
-    val e1e = pieces.indexOf(BertVocab.E1End)
-    val e2s = pieces.indexOf(BertVocab.E2)
-    val e2e = pieces.indexOf(BertVocab.E2End)
+    val e1s = buf.indexOf(BertVocab.E1)
+    val e1e = buf.indexOf(BertVocab.E1End)
+    val e2s = buf.indexOf(BertVocab.E2)
+    val e2e = buf.indexOf(BertVocab.E2End)
     if (e1s < 0 || e1e < 0 || e2s < 0 || e2e < 0) None
-    else
-      Some(
-        Encoded(
-          tokenizer.convertTokensToIds(pieces),
-          Span(e1s + 1, e1e - 1),
-          Span(e2s + 1, e2e - 1)))
+    else {
+      val ids = new Array[Int](buf.length)
+      var i = 0
+      while (i < buf.length) {
+        ids(i) = tokenizer.convertTokenToId(buf(i))
+        i += 1
+      }
+      Some(Encoded(ids, Span(e1s + 1, e1e - 1), Span(e2s + 1, e2e - 1)))
+    }
   }
 }

@@ -75,7 +75,7 @@ object TriplePipeline {
             .map { enc =>
               ScoredStatement(
                 st.url, st.docOrd, st.pairOrd, st.e1, st.e2,
-                enc.tokenIds, enc.e1Span.start, enc.e2Span.start)
+                enc.tokenIds.toSeq, enc.e1Span.start, enc.e2Span.start)
             }
         }
       }
@@ -139,7 +139,7 @@ object TriplePipeline {
           val batch = group.toArray
           val maxLen = if (batch.isEmpty) 0 else batch.map(_._4.length).max
           val padded = batch.map { r =>
-            val ids = r._4.toArray
+            val ids = r._4
             val out =
               if (ids.length == maxLen) ids
               else ids ++ Array.fill(maxLen - ids.length)(padId)

@@ -28,9 +28,9 @@ class MarkersCacheSpec extends AnyFunSuite {
       val viaJoined = tok.tokenize(joined)
       val viaCache = Markers.encodeCached(tok, cache)(words, Span(i1, i1), Span(i2, i2))
       val viaPlain = Markers.encode(tok)(words, Span(i1, i1), Span(i2, i2))
-      assert(viaCache.map(_.tokenIds) == viaPlain.map(_.tokenIds))
+      assert(viaCache.map(_.tokenIds.toSeq) == viaPlain.map(_.tokenIds.toSeq))
       viaCache.foreach { enc =>
-        assert(enc.tokenIds == tok.convertTokensToIds(viaJoined))
+        assert(enc.tokenIds.toSeq == tok.convertTokensToIds(viaJoined))
       }
     }
   }
@@ -40,6 +40,6 @@ class MarkersCacheSpec extends AnyFunSuite {
     val cache = new java.util.HashMap[String, Seq[String]]()
     val a = Markers.encode(tok)(words, Span(0, 0), Span(1, 1))
     val b = Markers.encodeCached(tok, cache)(words, Span(0, 0), Span(1, 1))
-    assert(a.map(_.tokenIds) == b.map(_.tokenIds))
+    assert(a.map(_.tokenIds.toSeq) == b.map(_.tokenIds.toSeq))
   }
 }

@@ -52,7 +52,7 @@ class PipelineSpec extends AnyFunSuite {
       Windowing.statements(doc, TriplePipeline.stableDocOrd(p.url)).flatMap { st =>
         Markers.encode(tok)(st.tokens, Span(st.e1s, st.e1e), Span(st.e2s, st.e2e)).map {
           enc =>
-            val pred = StubKernel.argmax(kernel.scoreOne(enc.tokenIds.toArray))
+            val pred = StubKernel.argmax(kernel.scoreOne(enc.tokenIds))
             Triple(st.e1, idx2rel(pred), st.e2, p.url)
         }
       }

@@ -64,7 +64,7 @@ class PropertySpec extends AnyFunSuite {
         val i1 = r.nextInt(n - 1)
         val i2 = i1 + 1 + r.nextInt(n - i1 - 1)
         Markers.encode(tok)(words, Span(i1, i1), Span(i2, i2)).foreach { enc =>
-          val pieces = enc.tokenIds.map(tok.convertIdToToken)
+          val pieces = enc.tokenIds.toSeq.map(tok.convertIdToToken)
           assert(enc.e1Span.start > 0 && enc.e2Span.end < pieces.length - 1)
           assert(pieces(enc.e1Span.start - 1) == "[E1]")
           assert(pieces(enc.e1Span.end + 1) == "[/E1]")

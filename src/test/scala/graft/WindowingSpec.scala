@@ -95,7 +95,7 @@ class WindowingSpec extends AnyFunSuite {
     val tok = Vocab.fixtureTokenizer
     val tokens = Seq("the", "microphone", "caused", "the", "signal")
     val Some(enc) = Markers.encode(tok)(tokens, Span(1, 1), Span(4, 4))
-    val pieces = enc.tokenIds.map(tok.convertIdToToken)
+    val pieces = enc.tokenIds.toSeq.map(tok.convertIdToToken)
     assert(pieces(enc.e1Span.start - 1) == "[E1]")
     assert(pieces(enc.e1Span.start) == "microphone")
     assert(pieces(enc.e2Span.start) == "signal")
