@@ -275,6 +275,17 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    "q51_stream_sessions" -> ((s, d) => {
+      graft.streaming.EventStream.sessionize(s, t(d, "events"), gapMin = 30)
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+    "q52_fewrel_source" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fewrel_q")
+      graft.fixtures.FewRelFixture.writeTo(dir)
+      graft.fewrel.FewRel.read(s, dir.toString + "/train_wiki.json").toDF()
+        .orderBy(col("relation"), col("hStart"))
+    }),
+
     // ---- multimodal plumbing ----
     "q60_media_meta" -> ((s, d) => {
       val docs = s.read.parquet(t(d, "documents"))
@@ -402,6 +413,37 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
          sum(CAST(value AS DECIMAL(18,4))) AS total_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q51_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value*10000) AS BIGINT) AS v
+           FROM events
+         ), marked AS (
+           SELECT user_id, ts_us, v,
+             CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+                       OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e
+         ), sess AS (
+           SELECT user_id, ts_us, v,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked
+         ), agg AS (
+           SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                  count(*) AS n_events, sum(v) AS total_e4
+           FROM sess GROUP BY user_id, sid
+         ), lastsid AS (
+           SELECT user_id, max(sid) AS msid FROM agg GROUP BY user_id
+         )
+         -- emitted iff closed by a later event (not the user's last session)
+         -- OR the event-time timeout fired: Spark compares the watermark
+         -- (ms) strictly against the ms-truncated (end + gap) timestamp
+         SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_e4
+         FROM agg a JOIN lastsid l ON a.user_id = l.user_id
+         WHERE a.sid < l.msid
+            OR (a.end_us + 1800000000) // 1000 <
+               (SELECT max(ts_us) // 1000 - 7200000 FROM e)
+         ORDER BY a.user_id, a.start_us""",
     "q61_media_bytes" ->
       """SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id"""
   )

@@ -52,4 +52,94 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  /** Session bounds in epoch MICROS and value as 1e-4 fixed-point — integer
+    * columns compare exactly against a SQL oracle (double sums would be
+    * summation-order-dependent). */
+  final case class Session(
+      user_id: Long,
+      start_us: Long,
+      end_us: Long,
+      n_events: Long,
+      total_e4: Long)
+
+  /** public: Catalyst codegen constructs/encodes the state class. */
+  final case class SessState(start: Long, last: Long, n: Long, total: Long)
+
+  /** Custom-state sessionization: per-user sessions closed after `gapMin`
+    * minutes of inactivity, via flatMapGroupsWithState with event-time
+    * timeout — the KeyValueGroupedDataset custom-state surface of the build
+    * rules. Emits closed sessions; the final watermark flush closes the
+    * tail sessions. */
+  def sessionize(
+      spark: SparkSession,
+      eventsParquet: String,
+      gapMin: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val schema = spark.read.parquet(eventsParquet).schema
+    val f = new java.io.File(eventsParquet)
+    val (dir, glob) =
+      if (f.isDirectory) (eventsParquet, "*") else (f.getParent, f.getName)
+    val gapMs = gapMin * 60000L
+
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      // keep the watermarked ts column itself — projecting it away would
+      // detach the watermark the event-time timeout needs
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+
+    val gapUs = gapMs * 1000L
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = rows.toArray.sortBy(_._3)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { case (_, _, ts, v) =>
+              cur match {
+                case Some(s) if ts - s.last <= gapUs =>
+                  cur = Some(SessState(s.start, ts, s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.last, s.n, s.total)
+                  cur = Some(SessState(ts, ts, 1L, v))
+                case None =>
+                  cur = Some(SessState(ts, ts, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+            }
+            closed.iterator
+          }
+        })
+
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }
