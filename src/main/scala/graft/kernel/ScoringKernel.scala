@@ -63,9 +63,71 @@ final class StubKernel(
 
   override def scoreBatch(batch: Array[(Array[Int], Int, Int)]): Array[Array[Float]] =
     batch.map { case (ids, _, _) => scoreOne(ids) }
+
+  /** per-token class weights (pad → zero vector) — for marker-aware
+    * composition. */
+  private[kernel] def weightsFor(t: Int): Array[Float] = {
+    val d = dense
+    if (t == padId) StubKernel.zeros(nClasses)
+    else if (t >= 0 && t < d.length) d(t)
+    else unseen
+  }
+}
+
+/** Marker-position-aware kernel — the NB-land analogue of the reference's
+  * gather-at-marker head (`bert.py:257-266`: hidden states at the [E1] and
+  * [E2] positions are gathered and concatenated into the classifier
+  * input). Here the tokens AT the carried e1Start/e2Start positions vote
+  * with `entityWeight` extra multiplicity, in training and scoring alike,
+  * so the classifier attends to the marked pair rather than the bag alone.
+  * Wraps [[StubKernel]]; same trait, still a broadcastable plain object. */
+final class MarkerAwareKernel(
+    private[kernel] val inner: StubKernel,
+    entityWeight: Int)
+    extends ScoringKernel {
+
+  def nClasses: Int = inner.nClasses
+
+  override def scoreBatch(batch: Array[(Array[Int], Int, Int)]): Array[Array[Float]] =
+    batch.map { case (ids, e1s, e2s) =>
+      val s = inner.scoreOne(ids)
+      def gather(pos: Int): Unit =
+        if (pos >= 0 && pos < ids.length) {
+          val w = inner.weightsFor(ids(pos))
+          var c = 0
+          while (c < nClasses) { s(c) += entityWeight * w(c); c += 1 }
+        }
+      gather(e1s)
+      gather(e2s)
+      s
+    }
+}
+
+object MarkerAwareKernel {
+
+  /** Train with the same feature map the scorer applies: marker-position
+    * tokens contribute `entityWeight` extra counts per example. */
+  def train(
+      examples: Seq[(Seq[Int], Int, Int, Int)], // (ids, e1Start, e2Start, label)
+      nClasses: Int,
+      padId: Int,
+      entityWeight: Int = 3): MarkerAwareKernel = {
+    val augmented = examples.map { case (ids, e1s, e2s, c) =>
+      val extra = Seq(e1s, e2s)
+        .filter(p => p >= 0 && p < ids.length)
+        .flatMap(p => Seq.fill(entityWeight)(ids(p)))
+      (ids ++ extra, c)
+    }
+    new MarkerAwareKernel(
+      StubKernel.train(augmented, nClasses, padId), entityWeight)
+  }
 }
 
 object StubKernel {
+
+  private val zeroCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Float]]()
+  private[kernel] def zeros(n: Int): Array[Float] =
+    zeroCache.computeIfAbsent(n, k => new Array[Float](k))
 
   /** Add-one-smoothed multinomial NB. Deterministic: iteration order is by
     * sorted token id / class id; no RNG anywhere. */

@@ -97,10 +97,25 @@ object MinHashLSH {
   /** Candidate edges (idA < idB) between rows whose texts land in the same
     * LSH band bucket and pass exact shingle-Jaccard >= threshold.
     *
+    * Scale shape (100-TB rules): document TEXT never rides the LSH
+    * shuffles. The bucket join carries (id, signature) only; candidate
+    * pairs are pre-filtered by MinHash signature agreement (estJaccard,
+    * which the signatures were computed for) and de-duplicated down to a
+    * 3-column (id_a, id_b, est) table; only the few survivors join the
+    * corpus text back for the exact shingle-Jaccard verification.
+    *
     * @param df        input with (idCol: long, textCol: string)
-    * @param maxBucket hot-bucket cap: buckets larger than this are split by
-    *                  a salt of the id (keeps worst case linear; at 100 TB
-    *                  a hot surface form otherwise makes one task quadratic)
+    * @param maxBucket hot-bucket cap: buckets larger than this are dropped
+    *                  (a degenerate hot bucket otherwise goes quadratic in
+    *                  one task). Dropped-bucket counts are surfaced via the
+    *                  Spark `observe` metric "minhash_lsh" (dropped_buckets,
+    *                  max_bucket) — never a silent recall loss.
+    * @param estSlack  signature pre-filter keeps pairs with estJaccard >=
+    *                  threshold - estSlack; with 48 hashes the estimator's
+    *                  sigma at j=0.8 is ~0.06, so the default 0.25 slack is
+    *                  a >4-sigma guard against false negatives while still
+    *                  discarding the unrelated-pair bulk before any text
+    *                  join.
     */
   def similarPairs(
       spark: SparkSession,
@@ -111,14 +126,16 @@ object MinHashLSH {
       bands: Int = 16,
       shingleK: Int = 3,
       threshold: Double = 0.7,
-      maxBucket: Int = 200,
-      shingleMode: String = "char"): DataFrame = {
+      maxBucket: Int = 1000,
+      shingleMode: String = "char",
+      estSlack: Double = 0.25): DataFrame = {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
     require(rowsPerBand * bands == numHashes, "bands must divide numHashes")
 
-    val sigs = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+
+    val sigs = docs
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -132,34 +149,47 @@ object MinHashLSH {
             }
             h
           }
-          (id, text, bandHashes)
+          (id, sig, bandHashes)
         }
       }
-      .toDF("id", "text", "band_hashes")
+      .toDF("id", "sig", "band_hashes")
 
     val buckets = sigs
-      .select(col("id"), col("text"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
+      .select(col("id"), col("sig"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
 
-    // hot-bucket cap: count bucket sizes, drop pathological buckets
-    val sized = buckets
-      .join(
-        buckets.groupBy("band", "bh").count().filter(col("count") <= maxBucket),
-        Seq("band", "bh"),
-        "left_semi")
+    // hot-bucket cap with an observed metric (no silent drop)
+    val okBuckets = buckets
+      .groupBy("band", "bh").count()
+      .observe(
+        "minhash_lsh",
+        sum(when(col("count") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        max(col("count")).as("max_bucket"))
+      .filter(col("count") <= maxBucket)
+      .select("band", "bh")
+    val sized = buckets.join(okBuckets, Seq("band", "bh"), "left_semi")
 
-    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("text").as("text_b"))
+    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val est = udf { (sa: Seq[Long], sb: Seq[Long]) =>
+      estJaccard(sa.toArray, sb.toArray)
+    }
     val cand = a
       .join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
-      .distinct()
+      // estimate from the signatures already in hand — unrelated pairs die
+      // here, before any dedup shuffle or text join
+      .withColumn("est", est(col("sig_a"), col("sig_b")))
+      .filter(col("est") >= threshold - estSlack)
+      .groupBy("id_a", "id_b")
+      .agg(first(col("est")).as("est"))
 
     val verify = udf { (ta: String, tb: String) =>
       exactJaccard(shinglesOf(ta, shingleK, shingleMode), shinglesOf(tb, shingleK, shingleMode))
     }
     cand
-      // spread the verify work: AQE tends to coalesce the small bucket
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      // spread the verify work: AQE tends to coalesce the small candidate
       // shuffle to one partition, which would serialize the expensive
       // exact-Jaccard stage
       .repartition(spark.sparkContext.defaultParallelism)

@@ -53,20 +53,39 @@ object Dedup {
       .select("doc_id", "cluster_id")
   }
 
-  /** 64-bit SimHash over whitespace tokens (weight 1 per token). */
+  /** Engine-portable per-token 62-bit hash: two polynomial hashes with
+    * moduli < 2^31 (base 31 mod 1e9+7, base 131 mod 998244353) packed as
+    * (h1 << 31) | h2. Every intermediate fits a signed 64-bit value, so the
+    * same function is expressible in ANSI SQL / DuckDB with no wrap-around
+    * arithmetic — which is what makes the simhash column oracle-checkable. */
+  def tokenHash62(t: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < t.length) {
+      h1 = (h1 * 31 + t.charAt(i)) % 1000000007L
+      h2 = (h2 * 131 + t.charAt(i)) % 998244353L
+      i += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  final val SimhashBits = 62
+
+  /** 62-bit SimHash over whitespace tokens (weight 1 per token). */
   def simhash(tokens: Seq[String]): Long = {
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](SimhashBits)
     tokens.foreach { t =>
-      val h = MinHashLSH.hash64(t, 0x51_7cc1b727220a95L)
+      val h = tokenHash62(t)
       var b = 0
-      while (b < 64) {
+      while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimhashBits) {
       if (acc(b) > 0) out |= (1L << b)
       b += 1
     }
@@ -82,6 +101,62 @@ object Dedup {
         (id, simhash(graft.textnorm.PyText.pySplit(text).toSeq))
       })
       .toDF(idCol, "simhash")
+  }
+
+  /** SimHash near-dup clusters: pairs within hamming distance `maxDist` are
+    * edges; clusters are connected components (cluster_id = min member).
+    *
+    * Scale design — banded hamming join, not all-pairs: the 62-bit
+    * signature is sliced into (maxDist + 1) disjoint bit-bands; by
+    * pigeonhole, any two signatures differing in <= maxDist bits agree
+    * EXACTLY on at least one band, so one shuffle on (band, band_bits)
+    * finds every qualifying pair (recall = 1.0 by construction — this is
+    * why the query is exact-oracle-checkable). Verification is a codegen'd
+    * bit_count(xor) on the two 64-bit signatures — no text ever shuffles. */
+  def simhashClusters(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val sigs = simhashDF(spark, docs, idCol, textCol) // (idCol, simhash)
+
+    // disjoint bit slices: band b covers [lo, lo+width)
+    val width = SimhashBits / nBands
+    val extra = SimhashBits % nBands
+    val slices = (0 until nBands).map { b =>
+      val lo = b * width + math.min(b, extra)
+      val w = width + (if (b < extra) 1 else 0)
+      (b, lo, w)
+    }
+    val banded = sigs.select(
+      col(idCol).as("id"),
+      col("simhash"),
+      explode(array(slices.map { case (b, lo, w) =>
+        struct(
+          lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), lo)
+            .bitwiseAND(lit((1L << w) - 1L)).as("bits"))
+      }: _*)).as("slice"))
+      .select(col("id"), col("simhash"), col("slice.band"), col("slice.bits"))
+
+    val a = banded.select(col("band"), col("bits"),
+      col("id").as("src"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("id").as("dst"), col("simhash").as("sig_b"))
+    val edges = a.join(b, Seq("band", "bits"))
+      .filter(col("src") < col("dst"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
+      .select(col("src"), col("dst"))
+      .distinct()
+
+    val comps = ConnectedComponents.run(spark, edges)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .select("doc_id", "cluster_id")
   }
 
   /** Exact word-set Jaccard between two token arrays as a Column expr. */

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.annotate.{Annotator, Gazetteer}
@@ -18,25 +17,55 @@ object KgOps {
     "spark", "table", "join", "merge", "window", "stream", "vector",
     "customer", "query", "batch")
 
+  /** Kind labels for the documents gazetteer — stand-in for spaCy NER
+    * labels; the operator under test is the reference's entity-kind
+    * allow-list (`src/tasks/infer.py:50-63`), which filters detected
+    * entities to `entities_of_interest` before pair generation. */
+  val DocKinds: Map[String, String] = Map(
+    "spark" -> "SYS", "table" -> "SYS", "join" -> "SYS", "merge" -> "SYS",
+    "window" -> "SYS",
+    "stream" -> "DATA", "vector" -> "DATA", "customer" -> "DATA",
+    "query" -> "DATA", "batch" -> "DATA")
+
   /** First-occurrence mention positions per document: (doc_id, mention,
     * pos). Runs the real Annotator (gazetteer match + dedupe-first-wins)
     * as one narrow flatMap. */
   def mentions(
       spark: SparkSession,
       docs: DataFrame,
+      surfaces: Seq[String] = DocGazetteer): DataFrame =
+    mentionsWithKinds(spark, docs, surfaces).drop("kind")
+
+  /** Mentions with their kind label: (doc_id, mention, pos, kind). */
+  def mentionsWithKinds(
+      spark: SparkSession,
+      docs: DataFrame,
       surfaces: Seq[String] = DocGazetteer): DataFrame = {
     import spark.implicits._
-    val gaz = spark.sparkContext.broadcast(new Gazetteer(surfaces))
+    val gaz = spark.sparkContext.broadcast(
+      new Gazetteer(surfaces, s => DocKinds.getOrElse(s, "ENT")))
     docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         Annotator.annotate(id.toString, text, gaz.value).mentions.map { m =>
-          (id, m.text, m.start)
+          (id, m.text, m.start, m.kind)
         }
       }
-      .toDF("doc_id", "mention", "pos")
+      .toDF("doc_id", "mention", "pos", "kind")
   }
+
+  /** NER-kind allow-list filter (§2.36; reference `infer.py:50-63`):
+    * mentions whose kind is outside `allowed` never reach pair
+    * generation. A narrow Column filter — pushes into the same stage as
+    * the annotate flatMap. */
+  def mentionsFiltered(
+      spark: SparkSession,
+      docs: DataFrame,
+      allowed: Set[String],
+      surfaces: Seq[String] = DocGazetteer): DataFrame =
+    mentionsWithKinds(spark, docs, surfaces)
+      .filter(col("kind").isin(allowed.toSeq: _*))
 
   /** Banded pair counts: ordered mention pairs with 1 <= gap <= window —
     * the row-local theta self-join (§2.8's band predicate) aggregated per
@@ -60,14 +89,16 @@ object KgOps {
   }
 
   /** First-appearance dense ids for mention surfaces: (mention, e_id) —
-    * the §2.9 dictionary-encode over an arbitrary mention table. */
+    * the §2.9 dictionary-encode over an arbitrary mention table. DenseId
+    * (range-partitioned two-phase enumeration) instead of a global ranking
+    * window, so the plan holds even when the surface dictionary grows. */
   def dictEncode(mentionsDf: DataFrame): DataFrame =
-    mentionsDf
-      .groupBy("mention")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first_seen"))
-      .withColumn(
-        "e_id",
-        row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+    DenseId
+      .withDenseId(
+        mentionsDf
+          .groupBy("mention")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first_seen")),
+        "e_id", col("first_seen"))
       .select("mention", "e_id")
 
   /** Pair frequencies with min-support filter (§2.10). */
@@ -84,8 +115,11 @@ object KgOps {
       mentionsDf: DataFrame,
       window: Int = 40,
       minCount: Long = 1): DataFrame = {
-    val dict = dictEncode(mentionsDf)
-    val freq = pairFreq(bandPairs(mentionsDf, window), minCount)
+    // three consumers (dict, pairs, and the final left join) — persist so
+    // the upstream mention flatMap runs once, not three times
+    val m = mentionsDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = dictEncode(m)
+    val freq = pairFreq(bandPairs(m, window), minCount)
     val edges = freq
       .join(dict.withColumnRenamed("mention", "m1").withColumnRenamed("e_id", "src"), Seq("m1"))
       .join(dict.withColumnRenamed("mention", "m2").withColumnRenamed("e_id", "dst"), Seq("m2"))

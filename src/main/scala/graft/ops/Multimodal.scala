@@ -20,19 +20,22 @@ object Multimodal {
       checksum: Long)
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * Real implementation would parse the container header. */
+    * Real implementation would parse the container header. The pseudo-hash
+    * is a base-31 polynomial mod 1e9+7 (non-negative, < 2^31) so the stub's
+    * outputs are reproducible in ANSI SQL and the plumbing stays
+    * oracle-checkable end to end. */
   def decodeStub(payload: Array[Byte]): MediaMeta = {
-    var h = 0x6d656469L
+    var h = 0L
     var i = 0
     while (i < payload.length) {
-      h = h * 31 + (payload(i) & 0xff)
+      h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
       i += 1
     }
     val kind = (h & 3) match {
       case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "blob"
     }
     MediaMeta(payload.length.toLong, kind,
-      640 + (math.abs(h) % 1280).toInt, 360 + (math.abs(h >> 7) % 720).toInt, h)
+      640 + (h % 1280).toInt, 360 + ((h >> 7) % 720).toInt, h)
   }
 
   /** Batched decode over (id, payload) — the mapPartitions shape a real

@@ -90,36 +90,49 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share a signature in at least one of
     * `tables` independent hyperplane tables; exact cosine re-rank inside
     * the candidate set. Returns same schema as bruteForceTopK (approximate
-    * contents). */
+    * contents).
+    *
+    * Recall design: the corpus emits ONE row per table (linear blow-up
+    * only); the small broadcast query side multi-probes — it also emits
+    * every signature at hamming distance 1, so a near-neighbor whose
+    * signature differs by a single hyperplane is still a candidate. With
+    * the 8-bit/8-table defaults, pair-collision probability at cosine 0.8
+    * is ~0.99 (vs ~0.5 for the single-probe 12-bit/4-table setting). */
   def lshTopK(
       spark: SparkSession,
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nBits: Int = 12,
-      tables: Int = 4,
+      nBits: Int = 8,
+      tables: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
 
-    def withSigs(df: DataFrame, side: String): DataFrame =
+    def withSigs(df: DataFrame, side: String, probe: Boolean): DataFrame =
       df.select(col(idCol).cast("long").as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
         .as[(Long, Array[Float])]
         .flatMap { case (id, vec) =>
-          (0 until tables).map { t =>
-            (id, vec, t, hyperplaneSig(vec, nBits, 0x5eed + t * 7919L))
+          (0 until tables).flatMap { t =>
+            val sig = hyperplaneSig(vec, nBits, 0x5eed + t * 7919L)
+            val sigs =
+              if (probe) sig +: (0 until nBits).map(b => sig ^ (1 << b))
+              else Seq(sig)
+            sigs.distinct.map(s => (id, vec, t, s))
           }
         }
         .toDF(s"${side}_id", s"${side}_vec", "table", "sig")
 
-    val qs = broadcast(withSigs(queries, "query"))
-    val cs = withSigs(corpus, "neighbor")
+    val qs = broadcast(withSigs(queries, "query", probe = true))
+    val cs = withSigs(corpus, "neighbor", probe = false)
     val cand = cs
       .join(qs, Seq("table", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("query_vec"), col("neighbor_vec"))
-      .distinct()
+      // score in the narrow stage, THEN dedup across tables/probes — the
+      // dedup shuffle carries (ids, cos), never the vectors
       .withColumn("cos", cosineCol(col("query_vec"), col("neighbor_vec")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand

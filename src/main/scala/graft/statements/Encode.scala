@@ -1,8 +1,9 @@
 package graft.statements
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.DenseId
 
 /** Dictionary encoding (exact-surface-form canonicalization), pair-frequency
   * filtering and entity-pair pools — distributed re-expression of
@@ -28,12 +29,15 @@ object Encode {
   def dictEncode(st: DataFrame): Encoded = {
     val withX = st.withColumn("x_text", concat_ws(" ", col("tokens")))
 
-    // x dictionary: window text -> dense id, first-appearance order
+    // x dictionary: window text -> dense id, first-appearance order. The
+    // window-text dictionary is near-fact-cardinality (windows are mostly
+    // unique), so the dense-id assignment must NOT be a global ranking
+    // window — DenseId range-partitions on first_seen instead.
     val xFirst = withX
       .groupBy(col("x_text"))
       .agg(min(struct(col("docOrd"), col("pairOrd"))).as("first_seen"))
-    val xDim = xFirst
-      .withColumn("x_id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+    val xDim = DenseId
+      .withDenseId(xFirst, "x_id", col("first_seen"))
       .select(col("x_text"), col("x_id"))
 
     // entity dictionary: e1 slot seen before e2 slot within a row
@@ -41,10 +45,10 @@ object Encode {
         struct(col("docOrd"), col("pairOrd"), lit(0).as("slot")).as("pos"))
       .unionAll(withX.select(col("e2").as("e_text"),
         struct(col("docOrd"), col("pairOrd"), lit(1).as("slot")).as("pos")))
-    val eDim = eOcc
-      .groupBy(col("e_text"))
-      .agg(min(col("pos")).as("first_seen"))
-      .withColumn("e_id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+    val eDim = DenseId
+      .withDenseId(
+        eOcc.groupBy(col("e_text")).agg(min(col("pos")).as("first_seen")),
+        "e_id", col("first_seen"))
       .select(col("e_text"), col("e_id"))
 
     val fact = withX
@@ -82,11 +86,11 @@ object Encode {
   }
 
   /** Dense relation ids in (docOrd, pairOrd) order — the reference's
-    * np.arange(len(data)) after filtering (`mtb_data_loader.py:249`). */
+    * np.arange(len(data)) after filtering (`mtb_data_loader.py:249`).
+    * Runs over the FACT table, so a global ranking window would move every
+    * statement through a single task; DenseId keeps it range-partitioned. */
   def withRelationIds(fact: DataFrame): DataFrame =
-    fact.withColumn(
-      "relation_id",
-      row_number().over(Window.orderBy(col("docOrd"), col("pairOrd"))).cast("long") - 1)
+    DenseId.withDenseId(fact, "relation_id", col("docOrd"), col("pairOrd"))
 
   /** Entity-pair pools + deterministic train/validation split
     * (`generate_entities_pools` + `transform_data`; the reference's

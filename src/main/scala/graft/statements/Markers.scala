@@ -33,6 +33,54 @@ object Markers {
     out.toSeq
   }
 
+  /** Inference-side marker insertion by STRING matching — port of the
+    * reference's `annotate_sent` (`src/tasks/infer.py:172-210`), the
+    * variant its ad-hoc inference entry point uses. Quirks preserved:
+    * only the FIRST token textually equal to the entity (or to its
+    * first/last token for multi-token entities) is marked, e1 is tried
+    * before e2 for every token, and the assembled string is
+    * whitespace-collapsed and stripped at the end. */
+  def annotateSent(tokens: Seq[String], e1: Seq[String], e2: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder
+    var e1start = 0; var e1end = 0
+    var e2start = 0; var e2end = 0
+    tokens.foreach { t =>
+      var consumed = false
+      if (e1.length == 1) {
+        if (t == e1.head && e1start == 0 && e1end == 0) {
+          sb.append(" [E1]").append(t).append("[/E1] ")
+          e1start = 1; e1end = 1; consumed = true
+        }
+      } else {
+        if (t == e1.head && e1start == 0) {
+          sb.append(" [E1]").append(t).append(" ")
+          e1start += 1; consumed = true
+        } else if (t == e1.last && e1end == 0) {
+          sb.append(t).append("[/E1] ")
+          e1end += 1; consumed = true
+        }
+      }
+      if (!consumed) {
+        if (e2.length == 1) {
+          if (t == e2.head && e2start == 0 && e2end == 0) {
+            sb.append(" [E2]").append(t).append("[/E2] ")
+            e2start = 1; e2end = 1; consumed = true
+          }
+        } else {
+          if (t == e2.head && e2start == 0) {
+            sb.append(" [E2]").append(t).append(" ")
+            e2start += 1; consumed = true
+          } else if (t == e2.last && e2end == 0) {
+            sb.append(t).append("[/E2] ")
+            e2end += 1; consumed = true
+          }
+        }
+      }
+      if (!consumed) sb.append(" ").append(t).append(" ")
+    }
+    sb.toString.trim.replaceAll(" +", " ")
+  }
+
   /** tokenIds as a primitive array: the encode→score path materializes one
     * per statement; Seq[Int] would box every id. */
   final case class Encoded(tokenIds: Array[Int], e1Span: Span, e2Span: Span)

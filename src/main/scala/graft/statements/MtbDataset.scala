@@ -41,6 +41,9 @@ object MtbDataset {
     import spark.implicits._
 
     // statements as a DataFrame (url, docOrd, pairOrd, tokens, spans, e1, e2)
+    // — persisted: dictEncode alone scans it four times (x dict, both
+    // e-occurrence unions, fact join); without the persist the whole
+    // scan→annotate→window pass re-runs per consumer
     val statements = TriplePipeline
       .normalizePages(pages, TriplePipeline.Config(windowSize = windowSize))
       .as[(String, String)]
@@ -49,6 +52,7 @@ object MtbDataset {
         Windowing.statements(doc, TriplePipeline.stableDocOrd(url), windowSize)
       }
       .toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val enc = Encode.dictEncode(statements)
     val afterMin = Encode.freqFilter(enc.fact, minCount)
@@ -76,7 +80,9 @@ object MtbDataset {
       .toDF("docOrd", "pairOrd", "e1_id", "e2_id", "token_ids", "e1_span", "e2_span")
       .filter(col("token_ids").isNotNull)
 
+    // four consumers (returned relations + pools + both entity pools)
     val withIds = Encode.withRelationIds(tokEnc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pools = Encode.pools(withIds, splitSeed)
     Result(
       tokenizedRelations = withIds,
@@ -86,6 +92,13 @@ object MtbDataset {
       xDim = xDim,
       eDim = eDim)
   }
+
+  /** Pool shuffling iterator (§2.17): the reference re-shuffles the pool
+    * list every epoch (`np.random.shuffle`); the distributed equivalent is
+    * a seeded epoch-keyed total order — deterministic under any
+    * partitioning, and a range exchange rather than a driver sort. */
+  def shuffledPools(pools: DataFrame, epoch: Int, seed: Long = 42L): DataFrame =
+    pools.orderBy(xxhash64(col("e1_id"), col("e2_id"), lit(epoch), lit(seed)))
 
   /** Positive sampling (§2.18): seeded, key-derived — take up to maxSize
     * relation ids per pool, ordering by a per-epoch hash (the reference's
@@ -116,4 +129,104 @@ object MtbDataset {
       .withColumn("neg_e1_not_e2", array_except(col("e1_rids"), col("e2_rids")))
       .withColumn("neg_e2_not_e1", array_except(col("e2_rids"), col("e1_rids")))
       .drop("e1_rids", "e2_rids")
+
+  /** Full negative-sampling semantics of the reference's
+    * `_sample_negative_indices` (`mtb_data_generator.py:161-193`), with
+    * every `np.random`/`random` draw replaced by a splitmix stream keyed by
+    * (e1_id, e2_id, epoch, seed) — deterministic under any partitioning:
+    *
+    *  1. with p=0.5 sample WITHOUT replacement from one set-difference
+    *     candidate pool (e1-side vs e2-side chosen p=0.5), size
+    *     min(maxSize, |pool|);
+    *  2. otherwise — or when the chosen pool is empty — uniform draws WITH
+    *     replacement from the dense relation-id space [0, nRelations)
+    *     (dense ids == the reference's index into all_relation_ids),
+    *     re-drawing the WHOLE batch while any id collides with the pool's
+    *     positives (the reference's collision-resample loop).
+    *
+    * Output: (e1_id, e2_id, set, negative_ids). */
+  def sampleNegatives(
+      pools: DataFrame,
+      e1Pool: DataFrame,
+      e2Pool: DataFrame,
+      nRelations: Long,
+      maxSize: Int,
+      epoch: Int,
+      seed: Long = 42L): DataFrame = {
+    val spark = pools.sparkSession
+    import spark.implicits._
+    require(nRelations > 0, "sampleNegatives needs a non-empty relation set")
+
+    negativeCandidates(pools, e1Pool, e2Pool)
+      .select(
+        col("e1_id"), col("e2_id"), col("set"), col("relation_ids"),
+        col("neg_e1_not_e2"), col("neg_e2_not_e1"))
+      .as[(Long, Long, String, Seq[Long], Seq[Long], Seq[Long])]
+      .map { case (e1, e2, set, positives, negE1, negE2) =>
+        val rng = new SplitmixRng(
+          SplitmixRng.mix(SplitmixRng.mix(SplitmixRng.mix(
+            seed ^ e1) ^ e2) ^ epoch.toLong))
+        var negs: Array[Long] = Array.emptyLongArray
+        if (rng.nextDouble() > 0.5) {
+          val pool = (if (rng.nextDouble() > 0.5) negE1 else negE2).toArray
+          val n =
+            if (maxSize > 0) math.min(maxSize, pool.length) else pool.length
+          negs = SplitmixRng.sampleWithoutReplacement(pool, n, rng)
+        }
+        if (negs.isEmpty) {
+          val pos = positives.toSet
+          val n = math.min(
+            if (maxSize > 0) maxSize.toLong else nRelations, nRelations).toInt
+          var attempts = 0
+          var draw = Array.emptyLongArray
+          var collides = true
+          while (collides && attempts < 1000) {
+            draw = Array.fill(n)((nRelations * rng.nextDouble()).toLong)
+            collides = draw.exists(pos.contains)
+            attempts += 1
+          }
+          // degenerate guard (positives cover nearly the whole id space —
+          // cannot happen after the min_pool_size filter, but stay total)
+          negs = if (collides) draw.filterNot(pos.contains) else draw
+        }
+        (e1, e2, set, negs.toSeq)
+      }
+      .toDF("e1_id", "e2_id", "set", "negative_ids")
+  }
+}
+
+/** Deterministic splitmix64 stream (public-domain construction) — the
+  * engine's replacement for the reference's `random`/`np.random` calls so
+  * sampling is reproducible under any partitioning or retry. */
+final class SplitmixRng(seed: Long) {
+  private var state = seed
+  def nextLong(): Long = {
+    state += 0x9e3779b97f4a7c15L
+    SplitmixRng.mix(state)
+  }
+  /** uniform in [0, 1) with 53 random bits (same contract as
+    * `random.random()`). */
+  def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+}
+
+object SplitmixRng {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Partial Fisher-Yates: first n of a seeded shuffle (the reference's
+    * `random.sample` — without replacement). */
+  def sampleWithoutReplacement(pool: Array[Long], n: Int, rng: SplitmixRng): Array[Long] = {
+    val a = pool.clone()
+    var i = 0
+    while (i < n) {
+      val j = i + (rng.nextDouble() * (a.length - i)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, n)
+  }
 }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.streaming.Trigger
   * production the same plan reads Kafka/files incrementally. */
 object EventStream {
 
-  /** Hourly per-type counts/sums via a real streaming query. Returns the
-    * final materialized result (hour, event_type, n, total_value). */
-  def hourlyAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
+  /** The shared hourly-agg streaming plan (watermark + windowed
+    * count/decimal-sum). Both the sandbox memory sink and the production
+    * file sink run exactly this DataFrame. */
+  private def hourlyPlan(spark: SparkSession, eventsParquet: String): DataFrame = {
     val schema = spark.read.parquet(eventsParquet).schema
     // the streaming file source needs a DIRECTORY; point it at the parent
     // with a glob filter selecting just this table's file(s)
@@ -27,7 +28,7 @@ object EventStream {
       // watermarks need an instant (LTZ) type; session TZ is UTC so the
       // NTZ->LTZ cast is value-preserving and reversed on output
       .withColumn("ts", col("ts").cast("timestamp"))
-    val agg = stream
+    stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       // decimal sum: exact + order-independent, so the streaming result is
@@ -40,7 +41,14 @@ object EventStream {
         col("event_type"),
         col("n"),
         col("total_value"))
+  }
 
+  /** Hourly per-type counts/sums via a real streaming query. Returns the
+    * final materialized result (hour, event_type, n, total_value).
+    * Memory sink = sandbox-only synchronous oracle surface; production
+    * deployments use [[hourlyAggToPath]] (same plan, file sink). */
+  def hourlyAgg(spark: SparkSession, eventsParquet: String): DataFrame = {
+    val agg = hourlyPlan(spark, eventsParquet)
     val name = s"graft_stream_${System.nanoTime()}"
     val q = agg.writeStream
       .outputMode("complete")
@@ -51,6 +59,46 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Production sink: the same hourly plan written incrementally to a
+    * parquet directory. Update mode + foreachBatch — each micro-batch
+    * appends its CHANGED windows stamped with the batch id (an idempotent
+    * upsert log; Spark replays an interrupted batch under the same id, and
+    * [[readHourlySink]] compacts by keeping the latest batch per key).
+    * Nothing is ever materialized on the driver. */
+  def hourlyAggToPath(
+      spark: SparkSession,
+      eventsParquet: String,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val agg = hourlyPlan(spark, eventsParquet)
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Compacted view over a [[hourlyAggToPath]] directory: latest batch's
+    * row per (hour, event_type). */
+  def readHourlySink(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(outDir)
+      .withColumn(
+        "rn",
+        row_number().over(Window
+          .partitionBy(col("hour"), col("event_type"))
+          .orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
   }
 
   /** Session bounds in epoch MICROS and value as 1e-4 fixed-point — integer

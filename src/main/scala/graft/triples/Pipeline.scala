@@ -27,7 +27,21 @@ object TriplePipeline {
       windowSize: Int = 40,
       batchSize: Int = 64,
       assembleArticle: Boolean = true,
-      langs: Set[String] = Set("en"))
+      langs: Set[String] = Set("en"),
+      /** NER-kind allow-list (reference `infer.py:50-63`
+        * entities_of_interest): when set, mentions whose kind is not
+        * listed never reach pair windowing. None = allow all (the
+        * training-path default, which takes every gazetteer hit). */
+      allowedKinds: Option[Set[String]] = None)
+
+  /** Apply the Config's kind allow-list to an annotated doc. */
+  def filterMentions(
+      doc: graft.schema.AnnotatedDoc,
+      cfg: Config): graft.schema.AnnotatedDoc =
+    cfg.allowedKinds match {
+      case None => doc
+      case Some(allowed) => doc.copy(mentions = doc.mentions.filter(m => allowed(m.kind)))
+    }
 
   final case class ScoredStatement(
       url: String,
@@ -64,7 +78,7 @@ object TriplePipeline {
     normalizePages(pages, cfg)
       .as[(String, String)]
       .flatMap { case (url, textNorm) =>
-        val doc = Annotator.annotate(url, textNorm, gaz.value)
+        val doc = filterMentions(Annotator.annotate(url, textNorm, gaz.value), cfg)
         val docOrd = stableDocOrd(url)
         Windowing.statements(doc, docOrd, cfg.windowSize).iterator.flatMap { st =>
           Markers
@@ -128,7 +142,7 @@ object TriplePipeline {
         // near-closed token vocabulary, so each surface tokenizes once
         val cache = new java.util.HashMap[String, Seq[String]](4096)
         val statements = rows.flatMap { case (url, textNorm) =>
-          val doc = Annotator.annotate(url, textNorm, gaz.value)
+          val doc = filterMentions(Annotator.annotate(url, textNorm, gaz.value), cfg)
           Windowing.statements(doc, stableDocOrd(url), windowSize).iterator.flatMap { st =>
             Markers
               .encodeCached(tok, cache)(st.tokens, Span(st.e1s, st.e1e), Span(st.e2s, st.e2e))

@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity}
+import graft.statements.{Markers, MtbDataset, SplitmixRng}
+
+/** Round-2 operator coverage: annotate_sent port, full negative-sampling
+  * semantics, simhash hamming clustering (pigeonhole exactness), ANN LSH
+  * recall. */
+class Round2OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round2-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+
+  // ---- annotate_sent (infer.py:172-210 port) ----
+
+  test("annotateSent marks single-token entities with [E1]/[E2] once") {
+    val s = Markers.annotateSent(
+      Seq("alice", "met", "bob", "in", "berlin", "with", "bob"),
+      Seq("alice"), Seq("bob"))
+    assert(s == "[E1]alice[/E1] met [E2]bob[/E2] in berlin with bob")
+  }
+
+  test("annotateSent multi-token entities mark first and last tokens") {
+    val s = Markers.annotateSent(
+      Seq("the", "acme", "corp", "hired", "jane", "doe"),
+      Seq("acme", "corp"), Seq("jane", "doe"))
+    assert(s == "the [E1]acme corp[/E1] hired [E2]jane doe[/E2]")
+  }
+
+  test("annotateSent reference quirk: e1 match is tried before e2") {
+    // when both entities share a token text, e1 wins the first occurrence
+    val s = Markers.annotateSent(
+      Seq("spark", "and", "spark"), Seq("spark"), Seq("spark"))
+    assert(s == "[E1]spark[/E1] and [E2]spark[/E2]")
+  }
+
+  // ---- negative sampling (mtb_data_generator.py:161-193 semantics) ----
+
+  private def tinyPools = {
+    import spark.implicits._
+    val pools = Seq(
+      (1L, 2L, Seq(0L, 1L), "train"),
+      (1L, 3L, Seq(2L, 3L), "train"),
+      (4L, 5L, Seq(4L), "train"))
+      .toDF("e1_id", "e2_id", "relation_ids", "set")
+    val e1Pool = Seq(
+      (1L, Seq(0L, 1L, 2L, 3L)), (4L, Seq(4L)))
+      .toDF("e1_id", "relation_ids")
+    val e2Pool = Seq(
+      (2L, Seq(0L, 1L)), (3L, Seq(2L, 3L)), (5L, Seq(4L)))
+      .toDF("e2_id", "relation_ids")
+    (pools, e1Pool, e2Pool)
+  }
+
+  test("sampleNegatives never returns a pool's own positives and bounds size") {
+    val (pools, e1Pool, e2Pool) = tinyPools
+    val out = MtbDataset
+      .sampleNegatives(pools, e1Pool, e2Pool, nRelations = 5, maxSize = 2, epoch = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3)))
+    assert(out.length == 3)
+    val positives = Map((1L, 2L) -> Set(0L, 1L), (1L, 3L) -> Set(2L, 3L), (4L, 5L) -> Set(4L))
+    out.foreach { case (e1, e2, negs) =>
+      assert(negs.nonEmpty, s"pool ($e1,$e2) got no negatives")
+      assert(negs.size <= 2)
+      // set-difference branch negatives are disjoint from positives by
+      // construction; the uniform fallback resamples on collision
+      assert(negs.toSet.intersect(positives((e1, e2))).isEmpty,
+        s"pool ($e1,$e2) sampled its own positives: $negs")
+    }
+  }
+
+  test("sampleNegatives is deterministic under repartitioning") {
+    val (pools, e1Pool, e2Pool) = tinyPools
+    def run(parts: Int) = MtbDataset
+      .sampleNegatives(
+        pools.repartition(parts), e1Pool, e2Pool, nRelations = 5, maxSize = 2, epoch = 1)
+      .orderBy("e1_id", "e2_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3).toList))
+      .toList
+    assert(run(1) == run(7))
+  }
+
+  test("sampleNegatives epoch changes the draw") {
+    val (pools, e1Pool, e2Pool) = tinyPools
+    def run(epoch: Int) = MtbDataset
+      .sampleNegatives(pools, e1Pool, e2Pool, nRelations = 5, maxSize = 2, epoch = epoch)
+      .orderBy("e1_id", "e2_id")
+      .collect()
+      .map(r => r.getSeq[Long](3).toList)
+      .toList
+    assert((0 to 4).map(run).distinct.size > 1, "all epochs drew identically")
+  }
+
+  test("splitmix sampleWithoutReplacement returns n distinct pool members") {
+    val rng = new SplitmixRng(7L)
+    val pool = Array(10L, 20L, 30L, 40L, 50L)
+    val s = SplitmixRng.sampleWithoutReplacement(pool, 3, rng)
+    assert(s.length == 3)
+    assert(s.distinct.length == 3)
+    assert(s.forall(pool.contains))
+  }
+
+  // ---- simhash hamming clustering ----
+
+  test("simhashClusters equals brute-force hamming components (pigeonhole)") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "spark table join merge window stream vector customer query batch"),
+      (1L, "spark table join merge window stream vector customer query batch"),
+      (2L, "spark table join merge window stream vector customer query batches"),
+      (3L, "an utterly different sentence about engines and turbines here"),
+      (4L, "an utterly different sentence about engines and turbines there"),
+      (5L, "completely unrelated text with nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashClusters(spark, texts, "doc_id", "text", maxDist = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // brute force: all-pairs hamming <= 3 + union-find
+    val sigs = texts.as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.simhash(graft.textnorm.PyText.pySplit(t).toSeq) }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long] ++ sigs.map(s => s._1 -> s._1)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = sigs.map(s => (s._1, find(s._1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  // ---- losses (mtb_loss.py semantics) ----
+
+  test("crossEntropySum matches hand computation and honors ignore_index") {
+    import graft.kernel.Losses
+    val logits = Array(Array(1.0, 2.0, 3.0), Array(0.5, 0.5, 0.5), Array(9.0, 1.0, 1.0))
+    val labels = Array(2, -100, 0)
+    // row0: logsumexp([1,2,3]) - 3 ; row1 ignored ; row2: logsumexp - 9
+    def lse(a: Array[Double]) = { val m = a.max; m + math.log(a.map(x => math.exp(x - m)).sum) }
+    val want = (lse(logits(0)) - 3.0) + (lse(logits(2)) - 9.0)
+    assert(math.abs(Losses.crossEntropySum(logits, labels, -100) - want) < 1e-12)
+  }
+
+  test("bceWithLogitsSum matches the naive formula away from overflow") {
+    import graft.kernel.Losses
+    val x = Array(-1.5, 0.0, 2.0)
+    val y = Array(0.0, 1.0, 1.0)
+    def sig(v: Double) = 1.0 / (1.0 + math.exp(-v))
+    val want = x.indices.map { i =>
+      -(y(i) * math.log(sig(x(i))) + (1 - y(i)) * math.log(1 - sig(x(i))))
+    }.sum
+    assert(math.abs(Losses.bceWithLogitsSum(x, y) - want) < 1e-12)
+  }
+
+  test("blankLoss enumerates pos-pos then pos-neg dot products") {
+    import graft.kernel.Losses
+    val emb = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val labels = Array(1, 1, 0)
+    // pos-pos: dot(e0,e1)=1 label 1 ; pos-neg: dot(e0,e2)=0, dot(e1,e2)=0 label 0
+    val want = Losses.bceWithLogitsSum(Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0))
+    assert(math.abs(Losses.blankLoss(emb, labels) - want) < 1e-12)
+  }
+
+  // ---- marker-aware kernel (bert.py:257-266 gather analogue) ----
+
+  test("MarkerAwareKernel separates classes a bag-of-tokens kernel cannot") {
+    import graft.kernel.{MarkerAwareKernel, StubKernel}
+    val pad = 0
+    // identical token bags; only the marked positions differ by class
+    val train = Seq(
+      (Seq(5, 6, 7), 0, 1, 0), (Seq(5, 6, 7), 0, 1, 0),
+      (Seq(5, 6, 7), 1, 2, 1), (Seq(5, 6, 7), 1, 2, 1))
+    val bag = StubKernel.train(train.map(e => (e._1, e._4)), 2, pad)
+    val aware = MarkerAwareKernel.train(train, 2, pad)
+    val rows = Array((Array(5, 6, 7), 0, 1), (Array(5, 6, 7), 1, 2))
+    val bagScores = bag.scoreBatch(rows)
+    assert(bagScores(0).sameElements(bagScores(1)), "bag kernel should tie")
+    val awareScores = aware.scoreBatch(rows)
+    assert(StubKernel.argmax(awareScores(0)) == 0)
+    assert(StubKernel.argmax(awareScores(1)) == 1)
+  }
+
+  test("MarkerAwareKernel is padding-invariant like the attention mask") {
+    import graft.kernel.MarkerAwareKernel
+    val train = Seq((Seq(5, 6, 7), 0, 2, 0), (Seq(7, 8, 9), 0, 2, 1))
+    val k = MarkerAwareKernel.train(train, 2, padId = 0)
+    val a = k.scoreBatch(Array((Array(5, 6, 7), 0, 2)))(0)
+    val b = k.scoreBatch(Array((Array(5, 6, 7, 0, 0, 0), 0, 2)))(0)
+    assert(a.sameElements(b))
+  }
+
+  // ---- directory-walk lineage + pool shuffle ----
+
+  test("SemEval readWithLineage carries the source file per record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semeval")
+    java.nio.file.Files.writeString(
+      dir.resolve("part1.txt"),
+      "1\t\"the [E1]a[/E1] near [E2]b[/E2] .\"\nrel-a\nComment:\n\n" +
+        "2\t\"the [E1]c[/E1] near [E2]d[/E2] .\"\nrel-b\nComment:\n\n")
+    val rows = graft.eval.SemEval.readWithLineage(spark, dir.toString)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(0).endsWith("part1.txt")))
+  }
+
+  test("shuffledPools is a deterministic epoch-keyed permutation") {
+    val (pools, _, _) = tinyPools
+    def order(epoch: Int) = MtbDataset.shuffledPools(pools, epoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(order(0) == order(0))
+    assert(order(0).toSet == order(1).toSet)
+  }
+
+  // ---- streaming file sink parity ----
+
+  test("hourlyAggToPath file sink compacts to the memory-sink result") {
+    val events = "/root/testdata/sf0.001/events.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    graft.streaming.EventStream.hourlyAggToPath(
+      spark, events, s"$tmp/out", s"$tmp/ckpt")
+    val fromFiles = graft.streaming.EventStream.readHourlySink(spark, s"$tmp/out")
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val fromMemory = graft.streaming.EventStream.hourlyAgg(spark, events)
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(fromFiles == fromMemory)
+  }
+
+  // ---- ANN LSH recall ----
+
+  test("lshTopK multi-probe recall >= 0.9 vs brute force on fixture vectors") {
+    import spark.implicits._
+    val rng = new SplitmixRng(3L)
+    // clustered vectors: 8 centroids + jitter so near-neighbors exist
+    val vecs = (0 until 120).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 1.0f else 0.1f
+        base + (rng.nextDouble().toFloat - 0.5f) * 0.1f
+      }
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+}
