@@ -38,11 +38,20 @@ object Bench {
     // warm the JIT + parquet footers once with the cheapest query
     try SparkEntry.queries("q12_lang_profile")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // best-of-N per query: single samples on this hypervisor vary ~2x
+    // (same best-of protocol as the scaling legs / BASELINE.md)
+    val batteryReps = sys.env.getOrElse("SPARK_GRAFT_BATTERY_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, _) =
-        try time(fn(spark, sfDir).count())
-        catch { case _: Throwable => (-1.0, 0L) }
-      name -> sec
+      val runs = (1 to batteryReps).map { _ =>
+        val (sec, _) =
+          try time(fn(spark, sfDir).count())
+          catch { case _: Throwable => (-1.0, 0L) }
+        // queries persist their multiply-consumed stages; drop them between
+        // measurements so no query pays another's cached blocks
+        spark.catalog.clearCache()
+        sec
+      }
+      name -> (if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0)
     }
 
     // ---- scaling: same job, same input, N vs 4N cores ----

@@ -213,6 +213,16 @@ object SparkEntry {
       Dedup.simhashDF(s, s.read.parquet(t(d, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q25_ann_topk" -> ((s, d) => {
+      val e = s.read.parquet(t(d, "embeddings"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q24_ann_ivf" -> ((s, d) => {
+      val e = s.read.parquet(t(d, "embeddings"))
+      Similarity.ivfTopK(s, e.filter(col("vec_id") < 32), e, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q23_simhash_clusters" -> ((s, d) => {
       Dedup.simhashClusters(s, s.read.parquet(t(d, "documents")), "doc_id", "text",
         maxDist = 3).orderBy(col("doc_id"))
@@ -608,6 +618,14 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rn = 1 ORDER BY query_id""",
+    "q25_ann_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q21_embedding_sums" ->
       """SELECT vec_id, round(list_reduce(
            list_prepend(CAST(0 AS DOUBLE),

@@ -62,6 +62,86 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-flat ANN — the inverted-list scale path promised in SURVEY.md's
+    * similarity-search section, complementing [[lshTopK]]:
+    *
+    *  - coarse quantizer: `nLists` centroids sampled deterministically from
+    *    the corpus itself (seeded hash order — no RNG, no training job);
+    *    broadcast to executors
+    *  - corpus vectors are assigned to their nearest centroid in one
+    *    narrow map (this is the bucketBy(list_id) layout a 100-TB corpus
+    *    would be written with — the scan then prunes to probed lists)
+    *  - each (broadcast) query probes its `nProbe` nearest centroids; the
+    *    list join is map-side against the broadcast probe table, so the
+    *    corpus never shuffles
+    *  - exact codegen'd cosine re-rank inside the probed lists
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nLists: Int = 64,
+      nProbe: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"))
+    val centroids: Array[(Int, Array[Float])] = c
+      .withColumn("h", xxhash64(col("neighbor_id")))
+      .orderBy(col("h"))
+      .limit(nLists)
+      .select(col("c_vec"))
+      .as[Array[Float]]
+      .collect()
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def nearestLists(v: Array[Float], n: Int): Seq[Int] =
+      centroids.map { case (i, cv) => (i, cos(v, cv)) }
+        .sortBy { case (i, s) => (-s, i) }
+        .take(n).map(_._1).toSeq
+
+    val cb = spark.sparkContext.broadcast(centroids)
+    val assigned = c
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = cb.value
+        it.map { case (id, v) =>
+          var best = 0; var bestS = Double.MinValue
+          cents.foreach { case (i, cv) =>
+            val s = cos(v, cv)
+            if (s > bestS || (s == bestS && i < best)) { best = i; bestS = s }
+          }
+          (best, id, v)
+        }
+      }
+      .toDF("list_id", "neighbor_id", "c_vec")
+
+    val probes = broadcast(
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) => nearestLists(v, nProbe).map(l => (l, id, v)) }
+        .toDF("list_id", "query_id", "q_vec"))
+
+    val cand = assigned
+      .join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Random-hyperplane signature (nBits) of a float vector — pure function
     * of (vector, seed); the hyperplanes are derived from splitmix so every
     * executor regenerates them identically with no driver state. */

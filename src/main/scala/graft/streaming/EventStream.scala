@@ -87,6 +87,28 @@ object EventStream {
     q.stop()
   }
 
+  /** Production sink for sessionization: append-mode flatMapGroupsWithState
+    * writes closed sessions straight to parquet (append output mode emits
+    * each session exactly once, so no compaction step is needed — unlike
+    * the update-mode hourly agg). Same plan as [[sessionize]]; memory sink
+    * there is the sandbox oracle surface only. */
+  def sessionizeToPath(
+      spark: SparkSession,
+      eventsParquet: String,
+      outDir: String,
+      checkpointDir: String,
+      gapMin: Int = 30): Unit = {
+    val q = sessionPlan(spark, eventsParquet, gapMin).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Compacted view over a [[hourlyAggToPath]] directory: latest batch's
     * row per (hour, event_type). */
   def readHourlySink(spark: SparkSession, outDir: String): DataFrame = {
@@ -123,6 +145,25 @@ object EventStream {
       spark: SparkSession,
       eventsParquet: String,
       gapMin: Int = 30): DataFrame = {
+    val sessions = sessionPlan(spark, eventsParquet, gapMin)
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** The shared sessionization streaming plan (flatMapGroupsWithState with
+    * event-time timeout) behind both sinks. */
+  private def sessionPlan(
+      spark: SparkSession,
+      eventsParquet: String,
+      gapMin: Int): org.apache.spark.sql.Dataset[Session] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -148,7 +189,7 @@ object EventStream {
       .as[(Long, java.sql.Timestamp, Long, Long)]
 
     val gapUs = gapMs * 1000L
-    val sessions = events
+    events
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)], state: GroupState[SessState]) => {
@@ -178,16 +219,5 @@ object EventStream {
             closed.iterator
           }
         })
-
-    val name = s"graft_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
   }
 }

@@ -239,6 +239,40 @@ class Round2OpsSpec extends AnyFunSuite {
 
   // ---- ANN LSH recall ----
 
+  test("sessionizeToPath file sink equals the memory-sink sessions") {
+    val events = "/root/testdata/sf0.001/events.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess_sink").toString
+    graft.streaming.EventStream.sessionizeToPath(
+      spark, events, s"$tmp/out", s"$tmp/ckpt")
+    val fromFiles = spark.read.parquet(s"$tmp/out")
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    val fromMemory = graft.streaming.EventStream.sessionize(spark, events)
+      .orderBy("user_id", "start_us").collect().map(_.toSeq).toSeq
+    assert(fromFiles == fromMemory)
+    assert(fromFiles.nonEmpty)
+  }
+
+  test("ivfTopK recall >= 0.9 vs brute force on fixture vectors") {
+    import spark.implicits._
+    val rng = new SplitmixRng(11L)
+    val vecs = (0 until 120).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16) { d =>
+        val base = if (d % 8 == c) 1.0f else 0.1f
+        base + (rng.nextDouble().toFloat - 0.5f) * 0.1f
+      }
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(queries, df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, queries, df, 5, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
   test("lshTopK multi-probe recall >= 0.9 vs brute force on fixture vectors") {
     import spark.implicits._
     val rng = new SplitmixRng(3L)
