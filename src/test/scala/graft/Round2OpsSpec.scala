@@ -171,6 +171,33 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(math.abs(Losses.blankLoss(emb, labels) - want) < 1e-12)
   }
 
+  // ---- DenseId rank semantics (replaces the global ranking window) ----
+
+  test("relation ids are the exact (docOrd, pairOrd) rank, contiguous from 0") {
+    val sc = spark.sparkContext
+    val ds = MtbDataset.build(
+      spark, graft.fixtures.Corpus.generate(spark, 96),
+      sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
+      sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
+      minCount = 2, minPoolSize = 2)
+    val rows = ds.tokenizedRelations
+      .select("relation_id", "docOrd", "pairOrd")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = rows.sortBy(r => (r._2, r._3)).zipWithIndex
+      .map { case ((_, d, p), i) => (i.toLong, d, p) }
+    assert(rows.sortBy(_._1).toSeq == expected.toSeq)
+  }
+
+  test("DenseId output is invariant to input partitioning") {
+    import spark.implicits._
+    val base = (0 until 500).map(i => (i * 37 % 500, s"k$i"))
+    def ids(parts: Int) = graft.ops.DenseId
+      .withDenseId(base.toDF("ord", "key").repartition(parts), "id", col("ord"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(ids(1) == ids(13))
+  }
+
   // ---- marker-aware kernel (bert.py:257-266 gather analogue) ----
 
   test("MarkerAwareKernel separates classes a bag-of-tokens kernel cannot") {
