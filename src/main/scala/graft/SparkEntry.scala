@@ -213,6 +213,16 @@ object SparkEntry {
       Dedup.simhashDF(s, s.read.parquet(t(d, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q26_embedding_dedup" -> ((s, d) => {
+      Dedup.embeddingClusters(s, s.read.parquet(t(d, "embeddings")),
+        "vec_id", "embedding", threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+    "q27_bpe_token_count" -> ((s, d) => {
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
     "q25_ann_topk" -> ((s, d) => {
       val e = s.read.parquet(t(d, "embeddings"))
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, 5)
@@ -618,6 +628,24 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rn = 1 ORDER BY query_id""",
+    // exact-oracle for embedding near-dup: exhaustive all-pairs cosine +
+    // connected components (valid per the probe-1 LSH recall argument in
+    // Dedup.embeddingClusters)
+    "q26_embedding_dedup" ->
+      """WITH RECURSIVE edges AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95),
+         sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         walk(node, reach) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+         SELECT node AS vec_id, CAST(min(reach) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node ORDER BY vec_id""",
+    "q27_bpe_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpeish
+         FROM documents ORDER BY doc_id""",
     "q25_ann_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -34,9 +34,13 @@ object ConnectedComponents {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .unionAll(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val edgeCount = sym.count()
-    if (edgeCount <= collectThreshold) return smallGraph(spark, sym)
+    // regime probe WITHOUT a full count: limit(T+1) stops scanning as soon
+    // as the graph is provably fact-sized, and doubles as the edge fetch
+    // for the driver union-find when it is not
+    val probe = sym.limit((collectThreshold + 1).toInt).collect()
+    if (probe.length <= collectThreshold) return smallGraphRows(spark, probe)
 
     var labels = sym
       .select(col("src").as("node"))
@@ -73,9 +77,11 @@ object ConnectedComponents {
   }
 
   /** Driver union-find for dimension-sized graphs; component = min member. */
-  private def smallGraph(spark: SparkSession, sym: DataFrame): DataFrame = {
+  private def smallGraphRows(
+      spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
-    val es = sym.as[(Long, Long)].collect()
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -90,9 +96,9 @@ object ConnectedComponents {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val rows = parent.keys.toSeq.map(n => (n, find(n)))
-    if (rows.isEmpty)
+    val out = parent.keys.toSeq.map(n => (n, find(n)))
+    if (out.isEmpty)
       spark.emptyDataset[(Long, Long)].toDF("node", "component")
-    else rows.toDF("node", "component")
+    else out.toDF("node", "component")
   }
 }

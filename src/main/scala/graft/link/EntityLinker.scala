@@ -16,10 +16,13 @@ object EntityLinker {
     * @return (e_id, e_text, canon_id, canon_text) */
   def canonicalize(
       spark: SparkSession,
-      eDim: DataFrame,
+      eDimIn: DataFrame,
       threshold: Double = 0.7,
       numHashes: Int = 48,
       bands: Int = 16): DataFrame = {
+    // five consumers (LSH sigs + two text joins + comp join + canon agg);
+    // the dim is dimension-sized by construction, persist it
+    val eDim = eDimIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = MinHashLSH
       .similarPairs(spark, eDim, "e_id", "e_text",
         numHashes = numHashes, bands = bands, threshold = threshold)

@@ -165,4 +165,53 @@ object Dedup {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0d, 1d).otherwise(inter / uni)
   }
+
+  /** Embedding-cosine near-dup clusters: (id, cluster_id), edges where
+    * cosine >= threshold, components by min id.
+    *
+    * Scale shape mirrors [[minhashClusters]]: random-hyperplane LSH buckets
+    * generate candidates (corpus emits one row per table; multi-probe at
+    * hamming distance 1 keeps recall high), exact codegen'd cosine verifies
+    * each candidate, and only (id, id, cos) rides the dedup shuffle.
+    * At the high thresholds near-dup implies (>= 0.95) the probe-1 miss
+    * probability is < 1e-3 per pair, so clusters coincide with the
+    * exhaustive ground truth — which is what the driver oracle checks. */
+  def embeddingClusters(
+      spark: SparkSession,
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      tables: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+
+    def sigs(probe: Boolean) = base
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until tables).flatMap { t =>
+          val s = Similarity.hyperplaneSig(v, nBits, 0xd0d0 + t * 104729L)
+          val ss = if (probe) s +: (0 until nBits).map(b => s ^ (1 << b)) else Seq(s)
+          ss.distinct.map(x => (id, v, t, x))
+        }
+      }
+
+    val a = sigs(probe = false).toDF("id_a", "vec_a", "table", "sig")
+    val b = sigs(probe = true).toDF("id_b", "vec_b", "table", "sig")
+    val edges = a
+      .join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosineCol(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct()
+
+    val comps = ConnectedComponents.run(spark, edges)
+    base
+      .select(col("id"))
+      .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("id")))
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
 }

@@ -16,6 +16,16 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokensCol(text))
 
+  /** BPE-ish regex token count — the subword-budget estimator a training
+    * pipeline runs before tokenizing for real: runs of letters, runs of
+    * digits, runs of other non-space chars, each with an optional leading
+    * space (GPT-2-pattern shape, restricted to RE2-portable syntax — no
+    * lookahead — so the SAME pattern runs in DuckDB for the oracle). */
+  val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpeishPattern))
+
   /** English-ish stopwords used by the quality score (fixed public list). */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "was",

@@ -300,6 +300,45 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("embeddingClusters equals brute-force cosine components") {
+    import spark.implicits._
+    val rng = new SplitmixRng(23L)
+    val vecs = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(16) { d =>
+        val base = if (d % 4 == c) 1.0f else 0.05f
+        base + (rng.nextDouble().toFloat - 0.5f) * 0.02f
+      }
+      (i.toLong, v)
+    }
+    val got = Dedup.embeddingClusters(spark, vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long] ++ vecs.map(v => v._1 -> v._1)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for { (a, va) <- vecs; (b, vb) <- vecs if a < b; if cos(va, vb) >= 0.95 } {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = vecs.map(v => (v._1, find(v._1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("bpeTokenCount matches a hand count") {
+    import spark.implicits._
+    val df = Seq((0L, "Spark 4.1 rocks!!"), (1L, "a b2c")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), graft.ops.TextStats.bpeTokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // "spark 4.1 rocks!!" -> [spark][ 4][.][1][ rocks][!!] = 6
+    // "a b2c" -> [a][ b][2][c] = 4
+    assert(got == Map(0L -> 6, 1L -> 4))
+  }
+
   test("lshTopK multi-probe recall >= 0.9 vs brute force on fixture vectors") {
     import spark.implicits._
     val rng = new SplitmixRng(3L)
