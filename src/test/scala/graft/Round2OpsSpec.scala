@@ -248,6 +248,41 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(order(0).toSet == order(1).toSet)
   }
 
+  // ---- streaming triple ingest ----
+
+  test("TripleStream incremental ingest equals the batch pipeline") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val (kernel, _, idx2rel) = SparkEntry.trainedKernel
+    val gaz = sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities))
+    val tok = sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer)
+    val kb = sc.broadcast(kernel: graft.kernel.ScoringKernel)
+    val rb = sc.broadcast(idx2rel)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tstream").toString
+    val pages = graft.fixtures.Corpus.generate(spark, 64).collect()
+
+    def runStream(): Unit = graft.streaming.TripleStream.run(
+      spark, s"$tmp/pages", s"$tmp/triples", s"$tmp/ckpt", gaz, tok, kb, rb)
+
+    // first dump: half the corpus
+    pages.take(32).toSeq.toDS().write.mode("append").parquet(s"$tmp/pages")
+    runStream()
+    val afterFirst = graft.streaming.TripleStream.readTriples(spark, s"$tmp/triples").count()
+
+    // second dump lands later; same checkpoint resumes incrementally
+    pages.drop(32).toSeq.toDS().write.mode("append").parquet(s"$tmp/pages")
+    runStream()
+
+    val streamed = graft.streaming.TripleStream.readTriples(spark, s"$tmp/triples")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.triples.TriplePipeline.run(
+      spark, graft.fixtures.Corpus.generate(spark, 64), gaz, tok, kb, rb)
+      .toDF().collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(afterFirst > 0 && afterFirst < streamed.size)
+  }
+
   // ---- streaming file sink parity ----
 
   test("hourlyAggToPath file sink compacts to the memory-sink result") {
