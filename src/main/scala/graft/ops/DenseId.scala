@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.LongType
 
 /** Dense contiguous ids 0..n-1 in a global sort order WITHOUT a
@@ -22,15 +22,30 @@ import org.apache.spark.sql.types.LongType
 object DenseId {
 
   def withDenseId(df: DataFrame, idName: String, orderCols: Column*): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+
     val spark = df.sparkSession
     val numParts = spark.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(numParts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(idName, LongType, nullable = false)
-    val rdd = sorted.rdd
+    // stay on InternalRow (no external-Row decode/re-encode: the fact-table
+    // call site carries token arrays, and boxing them twice per row costs
+    // more than the id assignment itself). zipWithIndex's count job reuses
+    // the range exchange's shuffle output.
+    val rdd = sorted.queryExecution.toRdd
       .zipWithIndex()
-      .map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+      .mapPartitions { it =>
+        val idRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { case (row, i) =>
+          idRow.update(0, i)
+          joined(row, idRow): InternalRow
+        }
+      }
+    GraftBridge.internalDF(spark, rdd, schema)
   }
 }
