@@ -32,16 +32,49 @@ object TriplePipeline {
         * entities_of_interest): when set, mentions whose kind is not
         * listed never reach pair windowing. None = allow all (the
         * training-path default, which takes every gazetteer hit). */
-      allowedKinds: Option[Set[String]] = None)
+      allowedKinds: Option[Set[String]] = None,
+      /** Second mention-pair source (reference `get_annotated_sents`,
+        * `infer.py:212-223`: NER pairs UNION dep-parse sub/obj pairs).
+        * When on, SVO-heuristic subject/object tokens join the mention
+        * set, so pages with entities outside the gazetteer still yield
+        * statements. Off by default — the training path is gazetteer-only. */
+      svoMentions: Boolean = false)
 
-  /** Apply the Config's kind allow-list to an annotated doc. */
+  /** Apply the Config's kind allow-list + optional SVO mention source to
+    * an annotated doc. */
   def filterMentions(
       doc: graft.schema.AnnotatedDoc,
-      cfg: Config): graft.schema.AnnotatedDoc =
-    cfg.allowedKinds match {
+      cfg: Config): graft.schema.AnnotatedDoc = {
+    val base = cfg.allowedKinds match {
       case None => doc
       case Some(allowed) => doc.copy(mentions = doc.mentions.filter(m => allowed(m.kind)))
     }
+    if (!cfg.svoMentions) base else withSvoMentions(base)
+  }
+
+  /** Add SVO-heuristic subject/object tokens as single-token mentions
+    * (kind "SVO"), skipping positions already covered by a gazetteer
+    * mention and deduping by surface like the annotator does. */
+  def withSvoMentions(doc: graft.schema.AnnotatedDoc): graft.schema.AnnotatedDoc = {
+    val verbs = graft.ops.SvoPairs.Verbs.toSet
+    val stops = graft.ops.TextStats.Stopwords.toSet
+    val toks = doc.tokens
+    val vi = toks.indexWhere(verbs.contains)
+    if (vi < 0) return doc
+    val subj = toks.take(vi).lastIndexWhere(t =>
+      !stops.contains(t) && t.exists(c => c >= 'a' && c <= 'z'))
+    if (subj < 0) return doc
+    val objs = (vi + 1 until toks.length).iterator
+      .filter(i => !stops.contains(toks(i)) && !verbs.contains(toks(i)))
+      .take(3)
+    val taken = doc.mentions.map(_.start).toSet
+    val seen = scala.collection.mutable.HashSet.empty[String] ++= doc.mentions.map(_.text)
+    val extra = (Iterator.single(subj) ++ objs)
+      .filter(i => !taken(i) && seen.add(toks(i)))
+      .map(i => graft.schema.Mention(i, i, toks(i), "SVO"))
+      .toVector
+    doc.copy(mentions = (doc.mentions ++ extra).sortBy(_.start))
+  }
 
   final case class ScoredStatement(
       url: String,

@@ -248,6 +248,39 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(order(0).toSet == order(1).toSet)
   }
 
+  // ---- SVO fallback mention source in the pipeline ----
+
+  test("svoMentions config yields statements on gazetteer-less pages") {
+    import graft.triples.TriplePipeline
+    val gaz = new graft.annotate.Gazetteer(Seq("zzz-not-present"))
+    val doc = graft.annotate.Annotator.annotate(
+      "u", "the turbine controls a valve near the membrane .", gaz)
+    assert(doc.mentions.isEmpty)
+    val off = TriplePipeline.filterMentions(doc, TriplePipeline.Config())
+    assert(off.mentions.isEmpty)
+    val on = TriplePipeline.filterMentions(
+      doc, TriplePipeline.Config(svoMentions = true))
+    // subject "turbine" (before verb "controls"), objects "valve",
+    // "membrane", "." — non-stopword non-verb tokens after the verb
+    assert(on.mentions.map(_.text).contains("turbine"))
+    assert(on.mentions.map(_.text).contains("valve"))
+    assert(on.mentions.forall(_.kind == "SVO"))
+    val stmts = graft.statements.Windowing.statements(on, 0L, 40)
+    assert(stmts.nonEmpty, "SVO mentions produced no statements")
+  }
+
+  test("svoMentions never duplicates gazetteer mentions") {
+    import graft.triples.TriplePipeline
+    val gaz = new graft.annotate.Gazetteer(Seq("turbine", "valve"))
+    val doc = graft.annotate.Annotator.annotate(
+      "u", "the turbine controls a valve near the membrane .", gaz)
+    val on = TriplePipeline.filterMentions(
+      doc, TriplePipeline.Config(svoMentions = true))
+    val texts = on.mentions.map(_.text)
+    assert(texts.distinct == texts)
+    assert(on.mentions.filter(_.kind != "SVO").map(_.text) == Seq("turbine", "valve"))
+  }
+
   // ---- streaming triple ingest ----
 
   test("TripleStream incremental ingest equals the batch pipeline") {
