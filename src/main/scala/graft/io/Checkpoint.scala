@@ -72,6 +72,24 @@ final class CheckpointManager(spark: SparkSession, root: String, runId: String) 
 
   def metrics: DataFrame = spark.read.parquet(metricsDir)
 
+  private val kpiDir = s"$root/_kpi"
+
+  /** Per-epoch KPI series (§2.29 — the reference appends per-epoch losses /
+    * accuracy lists into its model checkpoints, `mtb_model.py:205-222`):
+    * one appended row per (epoch, name) in a queryable parquet table
+    * instead of pickled lists inside a weights file. */
+  def logKpi(epoch: Int, name: String, value: Double): Unit = {
+    import spark.implicits._
+    Seq((runId, epoch, name, value))
+      .toDF("run_id", "epoch", "kpi", "value")
+      .coalesce(1)
+      .write.mode("append").parquet(kpiDir)
+  }
+
+  /** The KPI series, ordered for plotting/regression checks. */
+  def kpiSeries: DataFrame =
+    spark.read.parquet(kpiDir).orderBy("kpi", "epoch")
+
   /** Invalidate a stage (and force downstream recompute on next run). */
   def invalidate(name: String): Unit = {
     Files.deleteIfExists(manifestPath(name))

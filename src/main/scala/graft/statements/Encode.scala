@@ -92,21 +92,33 @@ object Encode {
   def withRelationIds(fact: DataFrame): DataFrame =
     DenseId.withDenseId(fact, "relation_id", col("docOrd"), col("pairOrd"))
 
+  /** Two-phase salted list collection: a Zipfian-hot key (one entity pair
+    * dominating the corpus) otherwise concentrates its entire list in a
+    * single task's memory. Phase 1 builds `salt` partial lists per key;
+    * phase 2 flattens and sorts — the final sort_array makes the output
+    * identical to the unsalted groupBy. */
+  private def saltedIdList(
+      df: DataFrame,
+      keys: Seq[String],
+      salt: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col("relation_id")), lit(salt)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(collect_list(col("relation_id")).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(flatten(collect_list(col("__partial")))).as("relation_ids"))
+
   /** Entity-pair pools + deterministic train/validation split
     * (`generate_entities_pools` + `transform_data`; the reference's
     * np.random>0.75 becomes a seeded key-derived hash — SURVEY.md §2.16). */
-  def pools(factWithIds: DataFrame, seed: Long = 42L): DataFrame =
-    factWithIds
-      .groupBy(col("e1_id"), col("e2_id"))
-      .agg(sort_array(collect_list(col("relation_id"))).as("relation_ids"))
+  def pools(factWithIds: DataFrame, seed: Long = 42L, salt: Int = 16): DataFrame =
+    saltedIdList(factWithIds, Seq("e1_id", "e2_id"), salt)
       .withColumn(
         "set",
         when(pmod(xxhash64(col("e1_id"), col("e2_id"), lit(seed)), lit(100)) >= 75, "validation")
           .otherwise("train"))
 
-  /** Per-entity pools (e1_pool / e2_pool re-groupings, §1.8). */
-  def entityPool(factWithIds: DataFrame, side: String): DataFrame =
-    factWithIds
-      .groupBy(col(s"${side}_id"))
-      .agg(sort_array(collect_list(col("relation_id"))).as("relation_ids"))
+  /** Per-entity pools (e1_pool / e2_pool re-groupings, §1.8) — per-entity
+    * keys are even hotter than pair keys, same salted two-phase shape. */
+  def entityPool(factWithIds: DataFrame, side: String, salt: Int = 16): DataFrame =
+    saltedIdList(factWithIds, Seq(s"${side}_id"), salt)
 }

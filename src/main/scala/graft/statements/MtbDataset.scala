@@ -60,22 +60,29 @@ object MtbDataset {
     val (xDim, eDim) = Encode.pruneDims(afterPool, enc.xDim, enc.eDim)
 
     // marker insertion + tokenize + span fixup; drop rows whose markers
-    // vanish (ValueError path) — counted by the caller via metrics
+    // vanish (ValueError path) — counted by the caller via metrics.
+    // Per-partition wordpiece memo, same as the fused inference pipeline:
+    // statement windows draw from a near-closed vocabulary, so each
+    // distinct surface tokenizes once per partition, not once per row.
     val tokEnc = afterPool
-      .map { row =>
-        val tokens: Seq[String] =
-          row.getAs[scala.collection.Seq[String]]("tokens").toSeq
-        val e1 = graft.schema.Span(row.getAs[Int]("e1s"), row.getAs[Int]("e1e"))
-        val e2 = graft.schema.Span(row.getAs[Int]("e2s"), row.getAs[Int]("e2e"))
-        val encOpt = Markers.encode(tokenizer.value)(tokens, e1, e2)
-        (
-          row.getAs[Long]("docOrd"),
-          row.getAs[Int]("pairOrd"),
-          row.getAs[Long]("e1_id"),
-          row.getAs[Long]("e2_id"),
-          encOpt.map(_.tokenIds).orNull,
-          encOpt.map(e => Seq(e.e1Span.start, e.e1Span.end)).orNull,
-          encOpt.map(e => Seq(e.e2Span.start, e.e2Span.end)).orNull)
+      .mapPartitions { rows =>
+        val tok = tokenizer.value
+        val cache = new java.util.HashMap[String, Seq[String]](4096)
+        rows.map { row =>
+          val tokens: Seq[String] =
+            row.getAs[scala.collection.Seq[String]]("tokens").toSeq
+          val e1 = graft.schema.Span(row.getAs[Int]("e1s"), row.getAs[Int]("e1e"))
+          val e2 = graft.schema.Span(row.getAs[Int]("e2s"), row.getAs[Int]("e2e"))
+          val encOpt = Markers.encodeCached(tok, cache)(tokens, e1, e2)
+          (
+            row.getAs[Long]("docOrd"),
+            row.getAs[Int]("pairOrd"),
+            row.getAs[Long]("e1_id"),
+            row.getAs[Long]("e2_id"),
+            encOpt.map(_.tokenIds).orNull,
+            encOpt.map(e => Seq(e.e1Span.start, e.e1Span.end)).orNull,
+            encOpt.map(e => Seq(e.e2Span.start, e.e2Span.end)).orNull)
+        }
       }
       .toDF("docOrd", "pairOrd", "e1_id", "e2_id", "token_ids", "e1_span", "e2_span")
       .filter(col("token_ids").isNotNull)

@@ -248,6 +248,19 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(order(0).toSet == order(1).toSet)
   }
 
+  // ---- per-epoch KPI series (2.29) ----
+
+  test("CheckpointManager records a queryable per-epoch KPI series") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kpi").toString
+    val cm = new graft.io.CheckpointManager(spark, root, "run-1")
+    cm.logKpi(0, "loss", 2.5)
+    cm.logKpi(1, "loss", 1.75)
+    cm.logKpi(1, "f1", 0.5)
+    val rows = cm.kpiSeries.collect()
+      .map(r => (r.getString(2), r.getInt(1), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("f1", 1, 0.5), ("loss", 0, 2.5), ("loss", 1, 1.75)))
+  }
+
   // ---- SVO fallback mention source in the pipeline ----
 
   test("svoMentions config yields statements on gazetteer-less pages") {
