@@ -248,6 +248,33 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(order(0).toSet == order(1).toSet)
   }
 
+  // ---- interactive inference entry points (infer.py:232-275) ----
+
+  test("inferOneSentence classifies a marker-bearing sentence") {
+    val (kernel, _, idx2rel) = SparkEntry.trainedKernel
+    val tok = graft.tokenize.Vocab.fixtureTokenizer
+    val pred = graft.kernel.Infer.inferOneSentence(tok, kernel, idx2rel)(
+      "the [E1]turbine[/E1] drives the [E2]valve[/E2] .")
+    assert(pred.isDefined)
+    assert(idx2rel.values.toSet.contains(pred.get))
+    // markers vanished -> None, not a crash
+    assert(graft.kernel.Infer.inferOneSentence(tok, kernel, idx2rel)(
+      "no markers here .").isEmpty)
+  }
+
+  test("inferSentence enumerates mention pairs and labels each") {
+    val (kernel, _, idx2rel) = SparkEntry.trainedKernel
+    val tok = graft.tokenize.Vocab.fixtureTokenizer
+    val gaz = new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)
+    val out = graft.kernel.Infer.inferSentence(tok, kernel, idx2rel, gaz)(
+      "John Smith visited Berlin with a microphone.")
+    val pairs = out.map(t => (t._1, t._3)).toSet
+    // 3 mentions -> 6 ordered pairs
+    assert(out.length == 6)
+    assert(pairs.contains(("john smith", "berlin")))
+    assert(out.forall(t => idx2rel.values.toSet.contains(t._2)))
+  }
+
   // ---- per-epoch KPI series (2.29) ----
 
   test("CheckpointManager records a queryable per-epoch KPI series") {
