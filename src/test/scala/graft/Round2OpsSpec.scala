@@ -248,6 +248,30 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(order(0).toSet == order(1).toSet)
   }
 
+  // ---- graph materialization ----
+
+  test("KgGraph nodes/edges are consistent with the triple multiset") {
+    import spark.implicits._
+    val triples = Seq(
+      ("a", "likes", "b", "u1"), ("a", "likes", "b", "u2"),
+      ("b", "sees", "c", "u1"), ("c", "sees", "a", "u3"))
+      .toDF("subj", "pred", "obj", "url")
+    val m = graft.triples.KgGraph.materialize(triples)
+    val edges = m.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(edges.length == 3)
+    assert(edges.map(_._4).sum == 4) // weights preserve the multiset
+    val nodes = m.nodes.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(nodes("a") == ((2L, 1L, 3L)))
+    assert(nodes("b") == ((1L, 2L, 3L)))
+    assert(nodes("c") == ((1L, 1L, 2L)))
+    // edge endpoints resolve to node ids
+    val ids = m.nodes.select("e_id").as[Long].collect().toSet
+    assert(edges.forall(e => ids(e._1) && ids(e._2)))
+  }
+
   // ---- interactive inference entry points (infer.py:232-275) ----
 
   test("inferOneSentence classifies a marker-bearing sentence") {
