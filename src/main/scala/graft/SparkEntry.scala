@@ -289,7 +289,7 @@ object SparkEntry {
     // ---- full KG pipeline (rows-only; non-SQL) ----
     "q40_kg_triples" -> ((s, _) => kgTriples(s, 512, canonical = false)),
     "q47_kg_graph_nodes" -> ((s, _) => {
-      graft.triples.KgGraph.materialize(kgTriples(s, 512, canonical = true))
+      graft.triples.KgGraph.materialize(kgTriples(s, 256, canonical = true))
         .nodes.orderBy(col("e_id"))
     }),
     "q41_kg_triples_canonical" -> ((s, _) => kgTriples(s, 512, canonical = true)),
