@@ -293,15 +293,15 @@ object SparkEntry {
         .nodes.orderBy(col("e_id"))
     }),
     "q41_kg_triples_canonical" -> ((s, _) => kgTriples(s, 512, canonical = true)),
-    "q42_mtb_pools" -> ((s, _) => {
-      val sc = s.sparkContext
-      graft.statements.MtbDataset.build(
-        s, Corpus.generate(s, 512),
-        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
-        sc.broadcast(Vocab.fixtureTokenizer),
-        minCount = 2, minPoolSize = 2).pools
+    // MTB pools over the documents table — same operator code as the
+    // Corpus path (Encode.pools et al., exercised by q43/q44), but every
+    // stage is ANSI-expressible, so pools/split/sampling get EXACT oracles
+    "q42_mtb_pools" -> ((s, d) => {
+      val st = graft.statements.MtbDocOps.statements(s, s.read.parquet(t(d, "documents")))
+      graft.statements.Encode.pools(st)
         // array columns crash the driver's pandas sorter — surface as JSON
         .withColumn("relation_ids", to_json(col("relation_ids")))
+        .orderBy(col("e1_id"), col("e2_id"))
     }),
 
     "q43_pool_pair_scores" -> ((s, _) => {
@@ -342,28 +342,18 @@ object SparkEntry {
         .withColumn("masked_pos", to_json(col("masked_pos")))
         .withColumn("labels", to_json(col("labels")))
     }),
-    "q45_negative_samples" -> ((s, _) => {
-      val sc = s.sparkContext
-      val ds = graft.statements.MtbDataset.build(
-        s, Corpus.generate(s, 256),
-        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
-        sc.broadcast(Vocab.fixtureTokenizer),
-        minCount = 2, minPoolSize = 2)
-      val n = ds.tokenizedRelations.count()
+    "q45_negative_samples" -> ((s, d) => {
+      val mtb = graft.statements.MtbDocOps.build(s, s.read.parquet(t(d, "documents")))
       graft.statements.MtbDataset.sampleNegatives(
-        ds.pools, ds.e1Pool, ds.e2Pool, n, maxSize = 4, epoch = 0)
+        mtb.pools, mtb.e1Pool, mtb.e2Pool, mtb.nRelations, maxSize = 4, epoch = 0)
         .withColumn("negative_ids", to_json(col("negative_ids")))
         .orderBy(col("e1_id"), col("e2_id"))
     }),
-    "q46_positive_samples" -> ((s, _) => {
-      val sc = s.sparkContext
-      val ds = graft.statements.MtbDataset.build(
-        s, Corpus.generate(s, 256),
-        sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
-        sc.broadcast(Vocab.fixtureTokenizer),
-        minCount = 2, minPoolSize = 2)
-      graft.statements.MtbDataset.samplePositives(ds.pools, maxSize = 4, epoch = 0)
-        .withColumn("relation_ids", to_json(col("relation_ids")))
+    "q46_positive_samples" -> ((s, d) => {
+      val st = graft.statements.MtbDocOps.statements(s, s.read.parquet(t(d, "documents")))
+      graft.statements.MtbDataset.samplePositives(
+        graft.statements.Encode.pools(st), maxSize = 4, epoch = 0)
+        .select(col("e1_id"), col("e2_id"), col("set"), col("rid"))
         .orderBy(col("e1_id"), col("e2_id"), col("rid"))
     }),
 
@@ -436,6 +426,32 @@ object SparkEntry {
   private val sysKinds =
     KgOps.DocKinds.filter(_._2 == "SYS").keys.toSeq.sorted
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared CTE chain for the documents-grounded MTB battery (q42/q45/q46):
+    * mentions → q32 dictionary → banded pairs → freq>=2 filter → dense
+    * relation ids in (doc_id,p1,p2) order → pools + PortableRng split.
+    * Mirrors MtbDocOps.statements + Encode.pools exactly. */
+  private val poolsCte: String = {
+    import graft.statements.PortableRng.sqlMix
+    s"""m AS (SELECT * FROM ($mentionCte) WHERE pos >= 0),
+       dict AS (SELECT mention,
+                  row_number() OVER (ORDER BY min(doc_id * 1000000 + pos)) - 1 AS e_id
+                FROM m GROUP BY mention),
+       st0 AS (SELECT a.doc_id, a.pos AS p1, b.pos AS p2,
+                      d1.e_id AS e1_id, d2.e_id AS e2_id
+               FROM m a JOIN m b ON a.doc_id = b.doc_id
+                 AND b.pos - a.pos BETWEEN 1 AND 40
+               JOIN dict d1 ON a.mention = d1.mention
+               JOIN dict d2 ON b.mention = d2.mention),
+       keep AS (SELECT e1_id, e2_id FROM st0 GROUP BY 1, 2 HAVING count(*) >= 2),
+       rel AS (SELECT e1_id, e2_id,
+                 CAST(row_number() OVER (ORDER BY doc_id, p1, p2) - 1 AS BIGINT) AS rid
+               FROM st0 JOIN keep USING (e1_id, e2_id)),
+       pools AS (SELECT e1_id, e2_id, list_sort(list(rid)) AS relation_ids,
+                   CASE WHEN ${sqlMix(sqlMix("42", "e1_id"), "e2_id")} % 100 >= 75
+                        THEN 'validation' ELSE 'train' END AS "set"
+                 FROM rel GROUP BY 1, 2)"""
+  }
 
   private val langStructs = TextStats.LangMarkers.toSeq.sortBy(_._1).map {
     case (lang, markers) =>
@@ -723,6 +739,68 @@ object SparkEntry {
                (SELECT max(ts_us) // 1000 - 7200000 FROM e)
          ORDER BY a.user_id, a.start_us""",
     "q61_media_bytes" ->
-      """SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, strlen(text) AS byte_len FROM documents ORDER BY doc_id""",
+    "q42_mtb_pools" ->
+      s"""WITH $poolsCte
+         SELECT e1_id, e2_id,
+                '[' || array_to_string(relation_ids, ',') || ']' AS relation_ids,
+                "set"
+         FROM pools ORDER BY e1_id, e2_id""",
+    "q46_positive_samples" -> {
+      import graft.statements.PortableRng.{sqlDraw, sqlKey}
+      s"""WITH $poolsCte,
+         ex AS (SELECT e1_id, e2_id, "set", unnest(relation_ids) AS rid FROM pools),
+         kx AS (SELECT *, ${sqlKey("42", "e1_id", "e2_id", "0")} AS kk FROM ex),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY e1_id, e2_id
+                  ORDER BY ${sqlDraw("kk", "3", "rid")}, rid) AS rn FROM kx)
+         SELECT e1_id, e2_id, "set", rid FROM rk WHERE rn <= 4
+         ORDER BY e1_id, e2_id, rid"""
+    },
+    "q45_negative_samples" -> {
+      import graft.statements.PortableRng.{sqlDraw, sqlKey, M}
+      s"""WITH $poolsCte,
+         e1p AS (SELECT e1_id, list_sort(list(rid)) AS e1_rids FROM rel GROUP BY 1),
+         e2p AS (SELECT e2_id, list_sort(list(rid)) AS e2_rids FROM rel GROUP BY 1),
+         nrel AS (SELECT count(*) AS n_rel FROM rel),
+         base AS (SELECT p.e1_id, p.e2_id, p."set", p.relation_ids,
+             list_filter(a.e1_rids, r -> NOT list_contains(b.e2_rids, r)) AS neg_e1,
+             list_filter(b.e2_rids, r -> NOT list_contains(a.e1_rids, r)) AS neg_e2,
+             ${sqlKey("42", "p.e1_id", "p.e2_id", "0")} AS kk, n.n_rel AS n_rel
+           FROM pools p JOIN e1p a ON p.e1_id = a.e1_id
+           JOIN e2p b ON p.e2_id = b.e2_id, nrel n),
+         wp AS (SELECT *, list_transform(
+             list_slice(list_sort(list_transform(relation_ids,
+               r -> {'h': ${sqlDraw("kk", "3", "r")}, 'r': r})),
+               1, LEAST(4, len(relation_ids))),
+             s -> s.r) AS pos_sample
+           FROM base),
+         br AS (SELECT *,
+             CASE WHEN ${sqlDraw("kk", "0", "0")} > 1073741823 THEN
+               CASE WHEN ${sqlDraw("kk", "0", "1")} > 1073741823
+                    THEN neg_e1 ELSE neg_e2 END
+             ELSE CAST([] AS BIGINT[]) END AS side
+           FROM wp),
+         bn AS (SELECT *, list_transform(
+             list_slice(list_sort(list_transform(side,
+               r -> {'h': ${sqlDraw("kk", "1", "r")}, 'r': r})),
+               1, LEAST(4, len(side))),
+             s -> s.r) AS bnegs,
+             LEAST(4, n_rel) AS nn
+           FROM br),
+         fb AS (SELECT *, CASE WHEN len(bnegs) > 0 THEN bnegs ELSE
+             coalesce(
+               (list_filter(list_transform(generate_series(0, 99), a ->
+                  list_transform(generate_series(0, nn - 1), i ->
+                    (n_rel * ${sqlDraw("kk", "2", "a * nn + i")}) // $M)),
+                 d -> len(list_intersect(d, pos_sample)) = 0))[1],
+               list_filter(list_transform(generate_series(0, nn - 1), i ->
+                   (n_rel * ${sqlDraw("kk", "2", "99 * nn + i")}) // $M),
+                 x -> NOT list_contains(pos_sample, x)))
+           END AS negs
+           FROM bn)
+         SELECT e1_id, e2_id, "set",
+                '[' || array_to_string(negs, ',') || ']' AS negative_ids
+         FROM fb ORDER BY e1_id, e2_id"""
+    }
   )
 }

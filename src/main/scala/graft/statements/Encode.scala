@@ -114,7 +114,10 @@ object Encode {
     saltedIdList(factWithIds, Seq("e1_id", "e2_id"), salt)
       .withColumn(
         "set",
-        when(pmod(xxhash64(col("e1_id"), col("e2_id"), lit(seed)), lit(100)) >= 75, "validation")
+        // PortableRng (not xxhash64) so the DuckDB oracle replays the split
+        when(
+          PortableRng.mixCol(PortableRng.mixCol(lit(seed), col("e1_id")), col("e2_id")) % 100 >= 75,
+          "validation")
           .otherwise("train"))
 
   /** Per-entity pools (e1_pool / e2_pool re-groupings, §1.8) — per-entity

@@ -105,23 +105,47 @@ object MtbDataset {
     * a seeded epoch-keyed total order — deterministic under any
     * partitioning, and a range exchange rather than a driver sort. */
   def shuffledPools(pools: DataFrame, epoch: Int, seed: Long = 42L): DataFrame =
-    pools.orderBy(xxhash64(col("e1_id"), col("e2_id"), lit(epoch), lit(seed)))
+    pools.orderBy(
+      PortableRng.drawCol(
+        PortableRng.keyCol(lit(seed), col("e1_id"), col("e2_id"), lit(epoch.toLong)),
+        lit(4L), lit(0L)),
+      col("e1_id"), col("e2_id"))
 
-  /** Positive sampling (§2.18): seeded, key-derived — take up to maxSize
-    * relation ids per pool, ordering by a per-epoch hash (the reference's
-    * np.random.choice becomes deterministic). */
-  def samplePositives(pools: DataFrame, maxSize: Int, epoch: Int): DataFrame =
+  /** Positive sampling (§2.18, reference `random.sample(positives, n)`
+    * in `mtb_data_generator.py:136`): up to maxSize relation ids per pool,
+    * uniform without replacement via a keyed-permutation rank — order the
+    * pool by the portable per-(pool,epoch) draw and keep the first n.
+    * Pure Column arithmetic (codegen, PortableRng) so the DuckDB oracle
+    * replays the identical sample. */
+  def samplePositives(
+      pools: DataFrame,
+      maxSize: Int,
+      epoch: Int,
+      seed: Long = 42L): DataFrame = {
+    val key = PortableRng.keyCol(lit(seed), col("e1_id"), col("e2_id"), lit(epoch.toLong))
     pools
       .withColumn("rid", explode(col("relation_ids")))
-      .withColumn("h", xxhash64(col("rid"), lit(epoch)))
+      .withColumn("h", PortableRng.drawCol(key, lit(3L), col("rid")))
       .withColumn(
         "rn",
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("e1_id"), col("e2_id"))
-            .orderBy(col("h"))))
+            .orderBy(col("h"), col("rid"))))
       .filter(col("rn") <= maxSize)
       .drop("h", "rn")
+  }
+
+  /** The sampled-positive set for one pool — MUST stay in lockstep with
+    * `samplePositives` (same stream tag 3, same (h, rid) tiebreak): the
+    * reference collides fallback negative draws against `pos_idxs`, the
+    * SAMPLED positives (`mtb_data_generator.py:139,186-192`), not the
+    * pool's full positive list. */
+  private[statements] def positiveSample(
+      key: Long, positives: Seq[Long], maxSize: Int): Set[Long] = {
+    val n = if (maxSize > 0) math.min(maxSize, positives.length) else positives.length
+    positives.sortBy(r => (PortableRng.draw(key, 3L, r), r)).take(n).toSet
+  }
 
   /** Negative candidates for a pool (§2.19): relations sharing e1 but not
     * e2 (or vice versa) — the reference's set difference becomes
@@ -139,17 +163,24 @@ object MtbDataset {
 
   /** Full negative-sampling semantics of the reference's
     * `_sample_negative_indices` (`mtb_data_generator.py:161-193`), with
-    * every `np.random`/`random` draw replaced by a splitmix stream keyed by
-    * (e1_id, e2_id, epoch, seed) — deterministic under any partitioning:
+    * every `np.random`/`random` draw replaced by a PortableRng counter
+    * stream keyed by (seed, e1_id, e2_id, epoch) — deterministic under any
+    * partitioning AND bit-exactly replayable by the DuckDB oracle:
     *
     *  1. with p=0.5 sample WITHOUT replacement from one set-difference
     *     candidate pool (e1-side vs e2-side chosen p=0.5), size
-    *     min(maxSize, |pool|);
+    *     min(maxSize, |pool|). `random.sample` becomes a keyed-permutation
+    *     rank (order by draw, take n) — still uniform w/o replacement.
     *  2. otherwise — or when the chosen pool is empty — uniform draws WITH
     *     replacement from the dense relation-id space [0, nRelations)
     *     (dense ids == the reference's index into all_relation_ids),
-    *     re-drawing the WHOLE batch while any id collides with the pool's
-    *     positives (the reference's collision-resample loop).
+    *     re-drawing the WHOLE batch while any id collides with this pool's
+    *     SAMPLED positives — `pos_idxs`, the `random.sample` output, NOT
+    *     the pool's full positive list (`mtb_data_generator.py:139,192`).
+    *     The reference's `while` is unbounded; the engine caps it at
+    *     `maxAttempts` and then filters the final batch against the
+    *     sampled positives — a totality guard that cannot trigger unless
+    *     positives cover ~the whole id space (deliberate deviation).
     *
     * Output: (e1_id, e2_id, set, negative_ids). */
   def sampleNegatives(
@@ -159,7 +190,8 @@ object MtbDataset {
       nRelations: Long,
       maxSize: Int,
       epoch: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxAttempts: Int = 100): DataFrame = {
     val spark = pools.sparkSession
     import spark.implicits._
     require(nRelations > 0, "sampleNegatives needs a non-empty relation set")
@@ -170,70 +202,31 @@ object MtbDataset {
         col("neg_e1_not_e2"), col("neg_e2_not_e1"))
       .as[(Long, Long, String, Seq[Long], Seq[Long], Seq[Long])]
       .map { case (e1, e2, set, positives, negE1, negE2) =>
-        val rng = new SplitmixRng(
-          SplitmixRng.mix(SplitmixRng.mix(SplitmixRng.mix(
-            seed ^ e1) ^ e2) ^ epoch.toLong))
+        val k = PortableRng.key(seed, e1, e2, epoch.toLong)
+        val posSample = positiveSample(k, positives, maxSize)
         var negs: Array[Long] = Array.emptyLongArray
-        if (rng.nextDouble() > 0.5) {
-          val pool = (if (rng.nextDouble() > 0.5) negE1 else negE2).toArray
-          val n =
-            if (maxSize > 0) math.min(maxSize, pool.length) else pool.length
-          negs = SplitmixRng.sampleWithoutReplacement(pool, n, rng)
+        if (PortableRng.draw(k, 0L, 0L) > PortableRng.Half) {
+          val side = if (PortableRng.draw(k, 0L, 1L) > PortableRng.Half) negE1 else negE2
+          val n = if (maxSize > 0) math.min(maxSize, side.length) else side.length
+          negs = side.sortBy(r => (PortableRng.draw(k, 1L, r), r)).take(n).toArray
         }
         if (negs.isEmpty) {
-          val pos = positives.toSet
           val n = math.min(
             if (maxSize > 0) maxSize.toLong else nRelations, nRelations).toInt
-          var attempts = 0
-          var draw = Array.emptyLongArray
-          var collides = true
-          while (collides && attempts < 1000) {
-            draw = Array.fill(n)((nRelations * rng.nextDouble()).toLong)
-            collides = draw.exists(pos.contains)
-            attempts += 1
+          var a = 0
+          var accepted: Array[Long] = null
+          var last: Array[Long] = Array.emptyLongArray
+          while (accepted == null && a < maxAttempts) {
+            val d = Array.tabulate(n)(i =>
+              PortableRng.drawInt(k, 2L, a.toLong * n + i, nRelations))
+            if (!d.exists(posSample.contains)) accepted = d
+            last = d
+            a += 1
           }
-          // degenerate guard (positives cover nearly the whole id space —
-          // cannot happen after the min_pool_size filter, but stay total)
-          negs = if (collides) draw.filterNot(pos.contains) else draw
+          negs = if (accepted != null) accepted else last.filterNot(posSample.contains)
         }
         (e1, e2, set, negs.toSeq)
       }
       .toDF("e1_id", "e2_id", "set", "negative_ids")
-  }
-}
-
-/** Deterministic splitmix64 stream (public-domain construction) — the
-  * engine's replacement for the reference's `random`/`np.random` calls so
-  * sampling is reproducible under any partitioning or retry. */
-final class SplitmixRng(seed: Long) {
-  private var state = seed
-  def nextLong(): Long = {
-    state += 0x9e3779b97f4a7c15L
-    SplitmixRng.mix(state)
-  }
-  /** uniform in [0, 1) with 53 random bits (same contract as
-    * `random.random()`). */
-  def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
-}
-
-object SplitmixRng {
-  def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Partial Fisher-Yates: first n of a seeded shuffle (the reference's
-    * `random.sample` — without replacement). */
-  def sampleWithoutReplacement(pool: Array[Long], n: Int, rng: SplitmixRng): Array[Long] = {
-    val a = pool.clone()
-    var i = 0
-    while (i < n) {
-      val j = i + (rng.nextDouble() * (a.length - i)).toInt
-      val t = a(i); a(i) = a(j); a(j) = t
-      i += 1
-    }
-    java.util.Arrays.copyOfRange(a, 0, n)
   }
 }

@@ -1,0 +1,80 @@
+package graft.statements
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DenseId, KgOps}
+
+/** The MTB statement/pool/sampling chain grounded on a generic `documents`
+  * table (driver parquet) instead of the synthetic page corpus: banded
+  * mention pairs → first-appearance dictionary → pair-frequency filter →
+  * dense relation ids → entity-pair pools → seeded train/validation split
+  * → positive/negative sampling.
+  *
+  * Same operator code as the Corpus-based MtbDataset path (Encode.pools,
+  * Encode.entityPool, MtbDataset.samplePositives/sampleNegatives) — but
+  * every stage here is ANSI-SQL-expressible, so the whole sampling battery
+  * gets an exact DuckDB oracle (reference semantics:
+  * `mtb_data_loader.py:427-561`, `mtb_data_generator.py:129-193`).
+  *
+  * Scale shape: mentions are one narrow flatMap; the dictionary is a dim
+  * (DenseId range exchange over distinct surfaces, broadcast back); the
+  * frequency filter is a partial+final hash agg plus a semi join; relation
+  * ids are a range exchange of the statements; pools are the salted
+  * two-phase list collection. No stage materializes more than one
+  * partition's rows at a time.
+  */
+object MtbDocOps {
+
+  /** Statements over documents: (doc_id, p1, p2, e1_id, e2_id,
+    * relation_id), pair-frequency-filtered (minCount) with dense relation
+    * ids assigned in (doc_id, p1, p2) order — the reference's
+    * np.arange-after-filtering (`mtb_data_loader.py:249`). */
+  def statements(
+      spark: SparkSession,
+      docs: DataFrame,
+      window: Int = 40,
+      minCount: Int = 2): DataFrame = {
+    val m = KgOps.mentions(spark, docs)
+    val dict = KgOps.dictEncode(m)
+    val a = m.select(col("doc_id"), col("mention").as("m1"), col("pos").as("p1"))
+    val b = m.select(col("doc_id"), col("mention").as("m2"), col("pos").as("p2"))
+    val pairs = a.join(b, Seq("doc_id"))
+      .filter(col("p2") - col("p1") >= 1 && col("p2") - col("p1") <= window)
+    val enc = pairs
+      .join(broadcast(dict.withColumnRenamed("mention", "m1")
+        .withColumnRenamed("e_id", "e1_id")), Seq("m1"))
+      .join(broadcast(dict.withColumnRenamed("mention", "m2")
+        .withColumnRenamed("e_id", "e2_id")), Seq("m2"))
+      .select(col("doc_id"), col("p1"), col("p2"), col("e1_id"), col("e2_id"))
+    val filtered = Encode.freqFilter(enc, minCount)
+    // (doc_id, p1, p2) is a total order: mention positions are unique
+    // within a document (first-occurrence per distinct surface)
+    DenseId.withDenseId(filtered, "relation_id", col("doc_id"), col("p1"), col("p2"))
+  }
+
+  final case class DocMtb(
+      statements: DataFrame,
+      pools: DataFrame,
+      e1Pool: DataFrame,
+      e2Pool: DataFrame,
+      nRelations: Long)
+
+  /** Statements + pools + per-entity pools, with the statements persisted
+    * once for the four consumers. */
+  def build(
+      spark: SparkSession,
+      docs: DataFrame,
+      window: Int = 40,
+      minCount: Int = 2,
+      seed: Long = 42L): DocMtb = {
+    val st = statements(spark, docs, window, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DocMtb(
+      statements = st,
+      pools = Encode.pools(st, seed),
+      e1Pool = Encode.entityPool(st, "e1"),
+      e2Pool = Encode.entityPool(st, "e2"),
+      nRelations = st.count())
+  }
+}

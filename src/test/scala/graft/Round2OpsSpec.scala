@@ -61,21 +61,25 @@ class Round2OpsSpec extends AnyFunSuite {
     (pools, e1Pool, e2Pool)
   }
 
-  test("sampleNegatives never returns a pool's own positives and bounds size") {
+  test("sampleNegatives avoids the SAMPLED positives and bounds size") {
     val (pools, e1Pool, e2Pool) = tinyPools
     val out = MtbDataset
       .sampleNegatives(pools, e1Pool, e2Pool, nRelations = 5, maxSize = 2, epoch = 0)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](3)))
     assert(out.length == 3)
-    val positives = Map((1L, 2L) -> Set(0L, 1L), (1L, 3L) -> Set(2L, 3L), (4L, 5L) -> Set(4L))
+    // the reference collides fallback draws against pos_idxs — the
+    // SAMPLED positives (mtb_data_generator.py:139,192), not the pool's
+    // full positive list; mirror that exactly here
+    val sampled = MtbDataset.samplePositives(pools, maxSize = 2, epoch = 0)
+      .collect()
+      .map(r => ((r.getAs[Long]("e1_id"), r.getAs[Long]("e2_id")), r.getAs[Long]("rid")))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     out.foreach { case (e1, e2, negs) =>
       assert(negs.nonEmpty, s"pool ($e1,$e2) got no negatives")
       assert(negs.size <= 2)
-      // set-difference branch negatives are disjoint from positives by
-      // construction; the uniform fallback resamples on collision
-      assert(negs.toSet.intersect(positives((e1, e2))).isEmpty,
-        s"pool ($e1,$e2) sampled its own positives: $negs")
+      assert(negs.toSet.intersect(sampled((e1, e2))).isEmpty,
+        s"pool ($e1,$e2) drew its own sampled positives: $negs")
     }
   }
 
@@ -102,13 +106,30 @@ class Round2OpsSpec extends AnyFunSuite {
     assert((0 to 4).map(run).distinct.size > 1, "all epochs drew identically")
   }
 
-  test("splitmix sampleWithoutReplacement returns n distinct pool members") {
-    val rng = new SplitmixRng(7L)
-    val pool = Array(10L, 20L, 30L, 40L, 50L)
-    val s = SplitmixRng.sampleWithoutReplacement(pool, 3, rng)
-    assert(s.length == 3)
-    assert(s.distinct.length == 3)
-    assert(s.forall(pool.contains))
+  test("PortableRng Column mirror agrees with the Scala mirror bit-exactly") {
+    import spark.implicits._
+    import graft.statements.PortableRng
+    val rows = for (e1 <- 0L to 12L; e2 <- 0L to 12L) yield (e1, e2)
+    val df = rows.toDF("e1_id", "e2_id")
+    val got = df.select(
+      col("e1_id"), col("e2_id"),
+      PortableRng.drawCol(
+        PortableRng.keyCol(lit(42L), col("e1_id"), col("e2_id"), lit(0L)),
+        lit(3L), col("e2_id")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    rows.foreach { case (e1, e2) =>
+      val want = PortableRng.draw(PortableRng.key(42L, e1, e2, 0L), 3L, e2)
+      assert(got((e1, e2)) == want, s"mismatch at ($e1,$e2)")
+      assert(want >= 0 && want < PortableRng.M)
+    }
+  }
+
+  test("PortableRng branch draw splits pools roughly in half") {
+    import graft.statements.PortableRng
+    val taken = (0 until 1000).count { i =>
+      PortableRng.draw(PortableRng.key(42L, i.toLong, i.toLong + 7, 0L), 0L, 0L) > PortableRng.Half
+    }
+    assert(taken > 400 && taken < 600, s"branch bias: $taken/1000")
   }
 
   // ---- simhash hamming clustering ----
