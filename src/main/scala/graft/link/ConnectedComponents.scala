@@ -36,11 +36,14 @@ object ConnectedComponents {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // regime probe WITHOUT a full count: limit(T+1) stops scanning as soon
-    // as the graph is provably fact-sized, and doubles as the edge fetch
-    // for the driver union-find when it is not
-    val probe = sym.limit((collectThreshold + 1).toInt).collect()
-    if (probe.length <= collectThreshold) return smallGraphRows(spark, probe)
+    // regime probe WITHOUT a full count: limit(T+1).count() stops scanning
+    // as soon as the graph is provably fact-sized and materializes NOTHING
+    // on the driver; only a provably-small graph is then collected (as
+    // primitive pairs, not boxed Rows)
+    import spark.implicits._
+    val probeCount = sym.limit((collectThreshold + 1).toInt).count()
+    if (probeCount <= collectThreshold)
+      return smallGraph(spark, sym.as[(Long, Long)].collect())
 
     var labels = sym
       .select(col("src").as("node"))
@@ -77,11 +80,10 @@ object ConnectedComponents {
   }
 
   /** Driver union-find for dimension-sized graphs; component = min member. */
-  private def smallGraphRows(
+  private def smallGraph(
       spark: SparkSession,
-      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      es: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -169,10 +169,13 @@ object Dedup {
   /** Embedding-cosine near-dup clusters: (id, cluster_id), edges where
     * cosine >= threshold, components by min id.
     *
-    * Scale shape mirrors [[minhashClusters]]: random-hyperplane LSH buckets
-    * generate candidates (corpus emits one row per table; multi-probe at
-    * hamming distance 1 keeps recall high), exact codegen'd cosine verifies
-    * each candidate, and only (id, id, cos) rides the dedup shuffle.
+    * Scale shape mirrors [[minhashClusters]] exactly: ONLY (id, table,
+    * sig) rides the LSH bucket join (the probe side emits tables×(nBits+1)
+    * rows per vector, but each is three scalars — never the vector);
+    * candidate (id_a, id_b) pairs are de-duplicated FIRST, then each side
+    * joins its vector back once for the codegen'd cosine verify. The
+    * vector is shuffled at most once per side, keyed by id, regardless of
+    * how many buckets a pair collides in.
     * At the high thresholds near-dup implies (>= 0.95) the probe-1 miss
     * probability is < 1e-3 per pair, so clusters coincide with the
     * exhaustive ground truth — which is what the driver oracle checks. */
@@ -184,34 +187,49 @@ object Dedup {
       threshold: Double = 0.95,
       nBits: Int = 8,
       tables: Int = 8): DataFrame = {
-    import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-
-    def sigs(probe: Boolean) = base
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        (0 until tables).flatMap { t =>
-          val s = Similarity.hyperplaneSig(v, nBits, 0xd0d0 + t * 104729L)
-          val ss = if (probe) s +: (0 until nBits).map(b => s ^ (1 << b)) else Seq(s)
-          ss.distinct.map(x => (id, v, t, x))
-        }
-      }
-
-    val a = sigs(probe = false).toDF("id_a", "vec_a", "table", "sig")
-    val b = sigs(probe = true).toDF("id_b", "vec_b", "table", "sig")
-    val edges = a
-      .join(b, Seq("table", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosineCol(col("vec_a"), col("vec_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .distinct()
-
+    val edges = embeddingEdges(spark, base, threshold, nBits, tables)
     val comps = ConnectedComponents.run(spark, edges)
     base
       .select(col("id"))
       .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("id")))
       .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Candidate generation + cosine verify for [[embeddingClusters]] —
+    * exposed so PlanAuditSpec can assert the bucket-join exchanges carry
+    * (id, table, sig) scalars only. */
+  private[graft] def embeddingEdges(
+      spark: SparkSession,
+      base: DataFrame,
+      threshold: Double,
+      nBits: Int,
+      tables: Int): DataFrame = {
+    import spark.implicits._
+    def sigs(probe: Boolean) = base
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until tables).flatMap { t =>
+          val s = Similarity.hyperplaneSig(v, nBits, 0xd0d0 + t * 104729L)
+          val ss = if (probe) s +: (0 until nBits).map(b => s ^ (1 << b)) else Seq(s)
+          ss.distinct.map(x => (id, t, x))
+        }
+      }
+
+    val a = sigs(probe = false).toDF("id_a", "table", "sig")
+    val b = sigs(probe = true).toDF("id_b", "table", "sig")
+    val cand = a
+      .join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cos", Similarity.cosineCol(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
   }
 }

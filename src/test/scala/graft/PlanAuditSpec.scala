@@ -86,4 +86,47 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial + final HashAggregate pairs around one exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
   }
+
+  test("q26 LSH bucket exchanges never carry a vector column") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        // inputPlan predates EnsureRequirements (no exchanges yet);
+        // executedPlan is the current physical plan with them inserted
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    // the edge stage runs eagerly inside ConnectedComponents, so audit it
+    // directly rather than the final (post-CC) join plan; disable broadcast
+    // so the bucket join plans as the shuffle it would be at scale
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try graft.ops.Dedup
+        .embeddingEdges(spark, base, threshold = 0.95, nBits = 8, tables = 8)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val bucketShuffles = allNodes(plan)
+      .collect { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.exists(_.toString.contains("sig"))
+        case _ => false
+      })
+    assert(bucketShuffles.nonEmpty,
+      s"expected an LSH bucket-join exchange on sig; nodes: ${allNodes(plan).map(_.getClass.getSimpleName).distinct}")
+    bucketShuffles.foreach { e =>
+      val arrays = e.child.schema.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"vector column rides the bucket-join shuffle: ${arrays.map(_.name)}")
+    }
+  }
 }
