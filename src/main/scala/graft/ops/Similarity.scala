@@ -82,7 +82,7 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nLists: Int = 64,
-      nProbe: Int = 8,
+      nProbe: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
@@ -142,6 +142,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** All signatures within hamming distance `dist` of `sig` (dist <= 2). */
+  def probeSigs(sig: Int, nBits: Int, dist: Int): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer(sig)
+    if (dist >= 1)
+      for (b <- 0 until nBits) out += sig ^ (1 << b)
+    if (dist >= 2)
+      for (a <- 0 until nBits; b <- a + 1 until nBits)
+        out += sig ^ (1 << a) ^ (1 << b)
+    out.toSeq
+  }
+
   /** Random-hyperplane signature (nBits) of a float vector — pure function
     * of (vector, seed); the hyperplanes are derived from splitmix so every
     * executor regenerates them identically with no driver state. */
@@ -186,7 +197,8 @@ object Similarity {
       nBits: Int = 8,
       tables: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probeDist: Int = 2): DataFrame = {
     import spark.implicits._
 
     def withSigs(df: DataFrame, side: String, probe: Boolean): DataFrame =
@@ -195,10 +207,15 @@ object Similarity {
         .flatMap { case (id, vec) =>
           (0 until tables).flatMap { t =>
             val sig = hyperplaneSig(vec, nBits, 0x5eed + t * 7919L)
+            // multi-probe up to hamming distance `probeDist` — the probe
+            // blow-up rides the SMALL broadcast query side only (1+8+28
+            // sigs per table at the 8-bit default), which is what buys
+            // recall in the weak-similarity regime (neighbor cosine ~0.3)
+            // without touching the corpus layout
             val sigs =
-              if (probe) sig +: (0 until nBits).map(b => sig ^ (1 << b))
+              if (probe) probeSigs(sig, nBits, probeDist)
               else Seq(sig)
-            sigs.distinct.map(s => (id, vec, t, s))
+            sigs.map(s => (id, vec, t, s))
           }
         }
         .toDF(s"${side}_id", s"${side}_vec", "table", "sig")
