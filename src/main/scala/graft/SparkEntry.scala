@@ -347,6 +347,14 @@ object SparkEntry {
       KgOps.mentionsFiltered(s, s.read.parquet(t(d, "documents")), Set("SYS"))
         .orderBy(col("doc_id"), col("pos"))
     }),
+    // open-web mention recall: rule-based noun phrases that are NOT
+    // gazetteer hits (the reference's noun_chunks stand-in — a page with
+    // out-of-gazetteer entities still yields mentions)
+    "q38_np_mentions" -> ((s, d) => {
+      KgOps.npMentions(s, s.read.parquet(t(d, "documents")))
+        .filter(!col("mention").isin(KgOps.DocGazetteer: _*))
+        .orderBy(col("doc_id"), col("pos"), col("mention"))
+    }),
 
     // ---- full KG pipeline (rows-only; non-SQL) ----
     "q40_kg_triples" -> ((s, _) => kgTriples(s, 512, canonical = false)),
@@ -736,6 +744,39 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q38_np_mentions" ->
+      s"""WITH base AS ($toksCte),
+         np AS (SELECT doc_id, toks,
+                  list_transform(toks, t -> regexp_matches(t, '^[A-Z][A-Za-z0-9]*$$')) AS cf
+                FROM base),
+         caps AS (SELECT doc_id, unnest(list_transform(
+             list_filter(generate_series(1, len(toks)), i -> cf[i] AND (i = 1 OR NOT cf[i-1])),
+             s -> {'p': s, 'm': array_to_string(list_slice(toks, s,
+                     coalesce(list_filter(generate_series(s, len(toks)), j -> NOT cf[j])[1],
+                              len(toks) + 1) - 1), ' '),
+                   'r': 'cap'})) AS c
+           FROM np),
+         dets AS (SELECT doc_id, unnest(list_transform(
+             list_filter(generate_series(1, len(toks)), p -> list_contains(['the','a','an'], toks[p])),
+             p -> {'p': p + 1, 'm': array_to_string(list_slice(toks, p + 1,
+                     LEAST(p + 3,
+                       coalesce(list_filter(generate_series(p + 1, len(toks)), j ->
+                         NOT (regexp_matches(toks[j], '^[a-z0-9]+$$')
+                              AND NOT list_contains($stopList, toks[j])
+                              AND NOT list_contains(['the','a','an'], toks[j])))[1],
+                         len(toks) + 1) - 1,
+                       len(toks))), ' '),
+                   'r': 'det'})) AS c
+           FROM np),
+         allc AS (SELECT doc_id, c.p AS pos1, c.m AS mention, c.r AS rule FROM caps WHERE c.m <> ''
+                  UNION ALL
+                  SELECT doc_id, c.p, c.m, c.r FROM dets WHERE c.m <> ''),
+         ranked AS (SELECT doc_id, mention, pos1 - 1 AS pos, rule,
+                      row_number() OVER (PARTITION BY doc_id, mention ORDER BY pos1, rule) AS rn
+                    FROM allc)
+         SELECT doc_id, mention, CAST(pos AS INTEGER) AS pos, rule
+         FROM ranked WHERE rn = 1 AND NOT list_contains($gazArr, mention)
+         ORDER BY doc_id, pos, mention""",
     // pinned at the achieved values (73/76 correct on the fixture test
     // split): any kernel/inference/tokenizer regression flips the hash
     "q37_semeval_prf" ->

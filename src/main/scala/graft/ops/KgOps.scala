@@ -55,6 +55,24 @@ object KgOps {
       .toDF("doc_id", "mention", "pos", "kind")
   }
 
+  /** Rule-based noun-phrase mentions over a documents table:
+    * (doc_id, mention, pos, rule) with rule in {'cap','det'} — see
+    * [[graft.annotate.NounPhrases]]. One narrow flatMap; whitespace
+    * tokenization (matching the SQL oracle's token CTE; the
+    * Annotator-integrated path uses the punctuation-aware tokenizer). */
+  def npMentions(spark: SparkSession, docs: DataFrame, maxLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.annotate.NounPhrases
+          .candidates(graft.textnorm.PyText.pySplit(text).toIndexedSeq, maxLen)
+          .map { case (m, p, r) => (id, m, p, r) }
+      }
+      .toDF("doc_id", "mention", "pos", "rule")
+  }
+
   /** NER-kind allow-list filter (§2.36; reference `infer.py:50-63`):
     * mentions whose kind is outside `allowed` never reach pair
     * generation. A narrow Column filter — pushes into the same stage as

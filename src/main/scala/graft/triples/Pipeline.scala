@@ -38,7 +38,15 @@ object TriplePipeline {
         * When on, SVO-heuristic subject/object tokens join the mention
         * set, so pages with entities outside the gazetteer still yield
         * statements. Off by default — the training path is gazetteer-only. */
-      svoMentions: Boolean = false)
+      svoMentions: Boolean = false,
+      /** Third mention source (reference spaCy `noun_chunks`,
+        * `mtb_data_loader.py:514-522`): rule-based noun phrases
+        * (capitalized-sequence + determiner-phrase,
+        * [[graft.annotate.NounPhrases]]) join the mention set, so
+        * open-web pages whose entities are outside the gazetteer still
+        * yield statements. Turn ON for open-web inference; the default
+        * stays off so the gazetteer parity tests pin reference geometry. */
+      npMentions: Boolean = false)
 
   /** Apply the Config's kind allow-list + optional SVO mention source to
     * an annotated doc. */
@@ -49,7 +57,26 @@ object TriplePipeline {
       case None => doc
       case Some(allowed) => doc.copy(mentions = doc.mentions.filter(m => allowed(m.kind)))
     }
-    if (!cfg.svoMentions) base else withSvoMentions(base)
+    val withSvo = if (!cfg.svoMentions) base else withSvoMentions(base)
+    if (!cfg.npMentions) withSvo else withNpMentions(withSvo)
+  }
+
+  /** Add rule-based noun-phrase mentions (kind "NP"), skipping positions
+    * already covered by an existing mention and deduping by surface —
+    * same merge geometry as [[withSvoMentions]]. */
+  def withNpMentions(doc: graft.schema.AnnotatedDoc): graft.schema.AnnotatedDoc = {
+    val covered = doc.mentions.flatMap(m => m.start to m.end).toSet
+    val seen = scala.collection.mutable.HashSet.empty[String] ++= doc.mentions.map(_.text)
+    val extra = graft.annotate.NounPhrases.candidates(doc.tokens)
+      .iterator
+      .flatMap { case (text, pos, _) =>
+        val end = pos + text.count(c => c == ' ')
+        if ((pos to end).forall(i => !covered(i)) && seen.add(text))
+          Some(graft.schema.Mention(pos, end, text, "NP"))
+        else None
+      }
+      .toVector
+    doc.copy(mentions = (doc.mentions ++ extra).sortBy(_.start))
   }
 
   /** Add SVO-heuristic subject/object tokens as single-token mentions
