@@ -448,11 +448,15 @@ object SparkEntry {
         .orderBy(col("relation"), col("hStart"))
     }),
 
-    // ---- multimodal plumbing ----
+    // ---- multimodal: REAL container-header decode ----
+    // payloads carry genuine PNG/JPEG/GIF/WAV headers whose dimensions the
+    // oracle derives independently from the generator parameters — the
+    // engine must actually PARSE the bytes (endianness, marker scan, chunk
+    // layout) to reproduce them
     "q60_media_meta" -> ((s, d) => {
-      val docs = s.read.parquet(t(d, "documents"))
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.decodeBatch(s, docs, "doc_id", "payload")
+      val media = Multimodal.mediaFixture(s.read.parquet(t(d, "documents")))
+      Multimodal.decodeBatch(s, media, "doc_id", "payload")
+        .select(col("doc_id"), col("kind"), col("width"), col("height"), col("byte_len"))
         .orderBy(col("doc_id"))
     }),
     "q61_media_bytes" -> ((s, d) => {
@@ -698,18 +702,16 @@ object SparkEntry {
          SELECT node AS e_id, CAST(min(reach) AS BIGINT) AS component
          FROM walk GROUP BY node ORDER BY e_id""",
     "q60_media_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-         CASE WHEN h % 4 = 0 THEN 'image' WHEN h % 4 = 1 THEN 'audio'
-              WHEN h % 4 = 2 THEN 'video' ELSE 'blob' END AS kind,
-         CAST(640 + h % 1280 AS INTEGER) AS width,
-         CAST(360 + (h // 128) % 720 AS INTEGER) AS height,
-         h AS checksum
-         FROM (SELECT doc_id, text, CAST(list_reduce(
-                 list_prepend(CAST(0 AS HUGEINT),
-                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
-                 (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT) AS h
-               FROM documents)
-         ORDER BY doc_id""",
+      """SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              WHEN 2 THEN 'gif' ELSE 'wav' END AS kind,
+         CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 8) * 4000
+              ELSE 16 + (doc_id * 7) % 1024 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+              ELSE 16 + (doc_id * 13) % 768 END AS INTEGER) AS height,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 15
+              WHEN 2 THEN 13 ELSE 36 END + strlen(text) AS BIGINT) AS byte_len
+         FROM documents ORDER BY doc_id""",
     "q20_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -43,6 +43,35 @@ class Round3OpsSpec extends AnyFunSuite {
       np.exists(_.text == "probe station"))
   }
 
+  test("decodeHeader parses PNG/JPEG/GIF/WAV containers and rejects noise") {
+    import graft.ops.Multimodal._
+    val body = "payload-bytes".getBytes("UTF-8")
+    val png = decodeHeader(pngPayload(1920, 1080, body))
+    assert((png.kind, png.width, png.height) == ("png", 1920, 1080))
+    assert(png.byteLen == 33L + body.length)
+    val jpg = decodeHeader(jpegPayload(640, 480, body))
+    assert((jpg.kind, jpg.width, jpg.height) == ("jpeg", 640, 480))
+    val gif = decodeHeader(gifPayload(320, 200, body))
+    assert((gif.kind, gif.width, gif.height) == ("gif", 320, 200))
+    val wav = decodeHeader(wavPayload(44100, 2, body))
+    assert((wav.kind, wav.width, wav.height) == ("wav", 44100, 2))
+    val blob = decodeHeader("not a media file at all..............".getBytes)
+    assert((blob.kind, blob.width, blob.height) == ("blob", 0, 0))
+  }
+
+  test("decodeHeader JPEG marker scan skips APP segments before SOF") {
+    import graft.ops.Multimodal._
+    // SOI + APP0 (JFIF, 16 bytes) + SOF0 — dims sit behind a skipped segment
+    val app0 = Array[Int](0xff, 0xe0, 0x00, 0x10,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0).map(_.toByte)
+    val sof = jpegPayload(800, 600, Array.emptyByteArray).drop(2) // strip SOI
+    val payload = Array[Int](0xff, 0xd8).map(_.toByte) ++ app0 ++ sof
+    val m = decodeHeader(payload)
+    assert((m.kind, m.width, m.height) == ("jpeg", 800, 600))
+    // truncated mid-scan stays total
+    assert(decodeHeader(payload.take(6)).kind == "blob")
+  }
+
   test("npMentions never overlaps existing gazetteer mentions") {
     val gaz = new Gazetteer(Seq("probe station"))
     val doc = Annotator.annotate(
