@@ -91,9 +91,19 @@ object Bench {
       (tLo, tHi, cHi)
     }
     val factor = nHi.toDouble / nLo
-    val (t8, t32, triples32) = pairs.maxBy(p => p._1 / p._2)
+    // headline statistic: min per leg across reps — noise-robust (each
+    // leg's best sample is its least-disturbed run) WITHOUT the upward
+    // bias of best-of-pairs (max of ratios rises whenever noise slows any
+    // lo leg). Best and median pair ratios are reported alongside so the
+    // protocol is auditable.
+    val t8 = pairs.map(_._1).min
+    val t32 = pairs.map(_._2).min
+    val triples32 = pairs.head._3
     val triples8 = triples32
     val efficiency = (t8 / t32) / factor
+    val ratios = pairs.map(p => (p._1 / p._2) / factor).sorted
+    val effBest = ratios.last
+    val effMedian = ratios(ratios.length / 2)
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -103,7 +113,7 @@ object Bench {
       f"""{"pages":$scalePages,"triples":$triples32,"cores_lo":$nLo,"cores_hi":$nHi,""" +
         f""""lo_sec":$t8%.3f,"hi_sec":$t32%.3f,""" +
         f""""lo_triples_per_sec":${triples8 / t8}%.1f,"hi_triples_per_sec":${triples32 / t32}%.1f,""" +
-        f""""efficiency":$efficiency%.3f}"""
+        f""""efficiency":$efficiency%.3f,"efficiency_best_pair":$effBest%.3f,"efficiency_median_pair":$effMedian%.3f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }

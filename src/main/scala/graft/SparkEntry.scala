@@ -478,18 +478,18 @@ object SparkEntry {
     """SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
        FROM documents"""
 
-  /** DuckDB mirror of Dedup.simhash: per-token (poly31<<31)|poly131 hash,
-    * majority vote per bit over 62 bits. Portable because every
-    * intermediate stays < 2^62 (see Dedup.tokenHash62). */
+  /** DuckDB mirror of Dedup.simhash: per-token (poly31<<30)|poly131 hash,
+    * majority vote per bit over 60 bits. Portable because every
+    * intermediate stays < 2^62 (see Dedup.tokenHash60). */
   private val simhashSigSql =
-    s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 61), b ->
+    s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
           CASE WHEN list_sum(list_transform(hs, h ->
                  CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
         FROM (SELECT doc_id, list_transform(toks, t ->
                 (list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-                   (a, c) -> (a * 31 + c) % 1000000007) << 31) |
+                   (a, c) -> (a * 31 + c) % 1000000007) << 30) |
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
                    (a, c) -> (a * 131 + c) % 998244353)) AS hs

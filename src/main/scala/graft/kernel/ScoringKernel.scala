@@ -126,6 +126,9 @@ object MarkerAwareKernel {
 object StubKernel {
 
   private val zeroCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Float]]()
+  /** Process-wide SHARED zero vector — read-only by contract. Callers
+    * (weightsFor's pad path) must never mutate the returned array; a
+    * kernel composition that scales weights in place must copy first. */
   private[kernel] def zeros(n: Int): Array[Float] =
     zeroCache.computeIfAbsent(n, k => new Array[Float](k))
 

@@ -53,12 +53,14 @@ object Dedup {
       .select("doc_id", "cluster_id")
   }
 
-  /** Engine-portable per-token 62-bit hash: two polynomial hashes with
-    * moduli < 2^31 (base 31 mod 1e9+7, base 131 mod 998244353) packed as
-    * (h1 << 31) | h2. Every intermediate fits a signed 64-bit value, so the
-    * same function is expressible in ANSI SQL / DuckDB with no wrap-around
-    * arithmetic — which is what makes the simhash column oracle-checkable. */
-  def tokenHash62(t: String): Long = {
+  /** Engine-portable per-token 60-bit hash: two polynomial hashes with
+    * moduli < 2^30 (base 31 mod 1e9+7, base 131 mod 998244353) packed as
+    * (h1 << 30) | h2 — every packed bit is informative (a 31-bit shift
+    * would leave two structurally-zero bits inside the signature). Every
+    * intermediate fits a signed 64-bit value, so the same function is
+    * expressible in ANSI SQL / DuckDB with no wrap-around arithmetic —
+    * which is what makes the simhash column oracle-checkable. */
+  def tokenHash60(t: String): Long = {
     var h1 = 0L
     var h2 = 0L
     var i = 0
@@ -67,16 +69,16 @@ object Dedup {
       h2 = (h2 * 131 + t.charAt(i)) % 998244353L
       i += 1
     }
-    (h1 << 31) | h2
+    (h1 << 30) | h2
   }
 
-  final val SimhashBits = 62
+  final val SimhashBits = 60
 
-  /** 62-bit SimHash over whitespace tokens (weight 1 per token). */
+  /** 60-bit SimHash over whitespace tokens (weight 1 per token). */
   def simhash(tokens: Seq[String]): Long = {
     val acc = new Array[Int](SimhashBits)
     tokens.foreach { t =>
-      val h = tokenHash62(t)
+      val h = tokenHash60(t)
       var b = 0
       while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -106,7 +108,7 @@ object Dedup {
   /** SimHash near-dup clusters: pairs within hamming distance `maxDist` are
     * edges; clusters are connected components (cluster_id = min member).
     *
-    * Scale design — banded hamming join, not all-pairs: the 62-bit
+    * Scale design — banded hamming join, not all-pairs: the 60-bit
     * signature is sliced into (maxDist + 1) disjoint bit-bands; by
     * pigeonhole, any two signatures differing in <= maxDist bits agree
     * EXACTLY on at least one band, so one shuffle on (band, band_bits)
