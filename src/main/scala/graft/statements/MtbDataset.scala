@@ -144,7 +144,29 @@ object MtbDataset {
   private[statements] def positiveSample(
       key: Long, positives: Seq[Long], maxSize: Int): Set[Long] = {
     val n = if (maxSize > 0) math.min(maxSize, positives.length) else positives.length
-    positives.sortBy(r => (PortableRng.draw(key, 3L, r), r)).take(n).toSet
+    nSmallestByDraw(positives, n, key, 3L).toSet
+  }
+
+  /** First n of the keyed permutation — selection, not sort: pools can be
+    * huge (hot entities share an e1/e2 pool with every co-occurring
+    * statement), and sorting a 100k-element candidate list to take 4 is
+    * O(len log len) per pool; a bounded max-heap selection is O(len log n)
+    * with n tiny. Order matches `ORDER BY draw, rid LIMIT n` exactly. */
+  private[statements] def nSmallestByDraw(
+      xs: Seq[Long], n: Int, key: Long, tag: Long): Array[Long] = {
+    if (n <= 0) return Array.emptyLongArray
+    // max-heap of the n smallest (draw, rid) pairs
+    val ord = Ordering.by[(Long, Long), (Long, Long)](identity)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+    xs.foreach { r =>
+      val k = (PortableRng.draw(key, tag, r), r)
+      if (heap.size < n) heap.enqueue(k)
+      else if (ord.lt(k, heap.head)) { heap.dequeue(); heap.enqueue(k) }
+    }
+    val out = new Array[Long](heap.size)
+    var i = heap.size - 1
+    while (i >= 0) { out(i) = heap.dequeue()._2; i -= 1 }
+    out
   }
 
   /** Negative candidates for a pool (§2.19): relations sharing e1 but not
@@ -208,7 +230,7 @@ object MtbDataset {
         if (PortableRng.draw(k, 0L, 0L) > PortableRng.Half) {
           val side = if (PortableRng.draw(k, 0L, 1L) > PortableRng.Half) negE1 else negE2
           val n = if (maxSize > 0) math.min(maxSize, side.length) else side.length
-          negs = side.sortBy(r => (PortableRng.draw(k, 1L, r), r)).take(n).toArray
+          negs = nSmallestByDraw(side, n, k, 1L)
         }
         if (negs.isEmpty) {
           val n = math.min(
