@@ -358,6 +358,16 @@ object SparkEntry {
 
     // ---- full KG pipeline (rows-only; non-SQL) ----
     "q40_kg_triples" -> ((s, _) => kgTriples(s, 512, canonical = false)),
+    // gradient-accumulation batching (§2.32): deterministic epoch-shuffle
+    // rank → micro-batch → optimizer-step assignment + reference loss
+    // scale, exactly SQL-mirrorable
+    "q48_grad_accum" -> ((s, d) => {
+      val st = graft.statements.MtbDocOps.statements(s, s.read.parquet(t(d, "documents")))
+      graft.statements.GradAccum.assign(
+        st.select(col("relation_id")), "relation_id",
+        batchSize = 64, miniBatchSize = 4, epoch = 0)
+        .orderBy(col("relation_id"))
+    }),
     "q47_kg_graph_nodes" -> ((s, _) => {
       graft.triples.KgGraph.materialize(kgTriples(s, 256, canonical = true))
         .nodes.orderBy(col("e_id"))
@@ -746,6 +756,18 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q48_grad_accum" -> {
+      import graft.statements.PortableRng.{sqlDraw, sqlMix}
+      s"""WITH $poolsCte,
+         ranked AS (SELECT rid,
+             row_number() OVER (ORDER BY ${sqlDraw(sqlMix("42", "0"), "5", "rid")}, rid) - 1 AS rank
+           FROM rel)
+         SELECT rid AS relation_id, CAST(rank AS BIGINT) AS rank,
+           CAST(rank // 4 AS BIGINT) AS micro_batch,
+           CAST((rank // 4) // 16 AS BIGINT) AS accum_step,
+           CAST(1.0 / 64 AS DOUBLE) AS loss_scale
+         FROM ranked ORDER BY relation_id"""
+    },
     "q38_np_mentions" ->
       s"""WITH base AS ($toksCte),
          np AS (SELECT doc_id, toks,

@@ -133,6 +133,56 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(prf.precision >= 0.95 && prf.recall >= 0.95, prf.toString)
   }
 
+  test("GradAccum assigns reference accumulation boundaries deterministically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rel = (0L until 100L).toDF("relation_id")
+    // batch 10, mini 4 -> optimizer fires every ceil(10/4) = 3 micro-batches
+    def run(parts: Int) = graft.statements.GradAccum
+      .assign(rel.repartition(parts), "relation_id", batchSize = 10, miniBatchSize = 4, epoch = 1)
+      .orderBy("relation_id")
+      .collect()
+      .map(r => (r.getAs[Long]("relation_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("micro_batch"), r.getAs[Long]("accum_step")))
+      .toList
+    val a = run(2)
+    assert(a == run(7), "assignment depends on partitioning")
+    assert(a.map(_._2).sorted == (0L until 100L).toList, "rank is a permutation")
+    a.foreach { case (_, rank, micro, step) =>
+      assert(micro == rank / 4)
+      assert(step == micro / 3)
+    }
+    // epoch changes the shuffle order
+    val b = graft.statements.GradAccum
+      .assign(rel, "relation_id", 10, 4, epoch = 2)
+      .orderBy("relation_id").collect().map(_.getAs[Long]("rank")).toList
+    assert(b != a.map(_._2), "epoch did not reshuffle")
+    val scale = graft.statements.GradAccum.assign(rel, "relation_id", 10, 4, 1)
+      .select(col("loss_scale")).distinct().collect()
+    assert(scale.map(_.getDouble(0)).toList == List(0.1))
+  }
+
+  test("KernelCheckpoint saves per-epoch artifacts and resumes the latest") {
+    import graft.kernel.{ArtifactKernel, KernelCheckpoint}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kernel_ckpt")
+    assert(KernelCheckpoint.loadLatest(dir).isEmpty)
+    val examples = Seq((Seq(1, 5, 7, 2), 1, 2, 0), (Seq(1, 6, 8, 2), 1, 2, 1))
+    val kernels = (0 to 2).map { e =>
+      val k = ArtifactKernel.fit(examples.take(e + 1) ++ examples, 2, padId = 0, dim = 8)
+      KernelCheckpoint.save(k, dir, e)
+      k
+    }
+    val Some((epoch, resumed)) = KernelCheckpoint.loadLatest(dir)
+    assert(epoch == 2)
+    val batch = examples.map(e => (e._1.toArray, e._2, e._3)).toArray
+    assert(resumed.scoreBatch(batch).zip(kernels(2).scoreBatch(batch))
+      .forall { case (x, y) => x.sameElements(y) })
+    // all three epoch artifacts exist on disk
+    (0 to 2).foreach { e =>
+      assert(java.nio.file.Files.exists(dir.resolve(f"kernel_epoch_$e%05d.bin")))
+    }
+  }
+
   test("npMentions never overlaps existing gazetteer mentions") {
     val gaz = new Gazetteer(Seq("probe station"))
     val doc = Annotator.annotate(
