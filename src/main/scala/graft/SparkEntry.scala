@@ -451,7 +451,10 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_us"))
     }),
     "q52_fewrel_source" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_fewrel_q")
+      // FIXED path (not a per-run temp dir): the DuckDB oracle re-reads
+      // the same JSON and re-derives validation + spans independently
+      val dir = java.nio.file.Paths.get("/tmp/graft_fewrel_fixture")
+      java.nio.file.Files.createDirectories(dir)
       graft.fixtures.FewRelFixture.writeTo(dir)
       graft.fewrel.FewRel.read(s, dir.toString + "/train_wiki.json").toDF()
         .withColumn("tokens", to_json(col("tokens")))
@@ -756,6 +759,34 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // reads the fixture JSON back with DuckDB's JSON reader and re-derives
+    // the reference's validation (one-to-many drop, contiguity asserts,
+    // exclusive-end overlap test), lowercasing, and span arithmetic
+    // independently of the engine
+    "q52_fewrel_source" ->
+      """WITH j AS (SELECT CAST(content AS JSON) AS doc
+                    FROM read_text('/tmp/graft_fewrel_fixture/train_wiki.json')),
+         rels AS (SELECT unnest(json_keys(doc)) AS relation, doc FROM j),
+         arr AS (SELECT relation, json_extract(doc, '$."' || relation || '"') AS exs FROM rels),
+         ex AS (SELECT relation, json_extract(exs, '$[' || i || ']') AS e
+                FROM arr, unnest(generate_series(0, CAST(json_array_length(exs) AS INTEGER) - 1)) AS t(i)),
+         parsed AS (SELECT relation,
+             CAST(json_extract(e, '$.tokens') AS VARCHAR[]) AS toks,
+             CAST(json_extract(e, '$.h[' || (CAST(json_array_length(json_extract(e, '$.h')) AS INTEGER) - 1) || ']') AS INTEGER[][]) AS h_pos,
+             CAST(json_extract(e, '$.t[' || (CAST(json_array_length(json_extract(e, '$.t')) AS INTEGER) - 1) || ']') AS INTEGER[][]) AS t_pos
+           FROM ex),
+         valid AS (SELECT relation, toks, h_pos[1] AS h, t_pos[1] AS t
+           FROM parsed
+           WHERE len(h_pos) = 1 AND len(t_pos) = 1
+             AND h_pos[1] = generate_series(list_min(h_pos[1]), list_max(h_pos[1]))
+             AND t_pos[1] = generate_series(list_min(t_pos[1]), list_max(t_pos[1]))
+             AND NOT ((t[1] <= h[-1] + 1 AND h[-1] + 1 <= t[-1] + 1)
+                   OR (h[1] <= t[-1] + 1 AND t[-1] + 1 <= h[-1] + 1)))
+         SELECT relation,
+           CAST(list_transform(toks, x -> lower(x)) AS JSON) AS tokens,
+           CAST(h[1] AS INTEGER) AS hStart, CAST(h[-1] + 1 AS INTEGER) AS hEnd,
+           CAST(t[1] AS INTEGER) AS tStart, CAST(t[-1] + 1 AS INTEGER) AS tEnd
+         FROM valid ORDER BY relation, hStart""",
     "q48_grad_accum" -> {
       import graft.statements.PortableRng.{sqlDraw, sqlMix}
       s"""WITH $poolsCte,
