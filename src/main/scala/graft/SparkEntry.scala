@@ -368,6 +368,22 @@ object SparkEntry {
         batchSize = 64, miniBatchSize = 4, epoch = 0)
         .orderBy(col("relation_id"))
     }),
+    // graph materialization with an EXACT oracle: the same KgGraph
+    // operator over documents-grounded co-occurrence triples (the
+    // Corpus-based q47 stays as pipeline integration evidence; surface ids
+    // are xxhash64 and stay engine-side — the oracle checks the
+    // aggregation semantics on the surface/degree columns)
+    "q49_kg_graph_docs" -> ((s, d) => {
+      val pairs = KgOps.bandPairs(KgOps.mentions(s, s.read.parquet(t(d, "documents"))))
+      val triples = pairs.select(
+        col("m1").as("subj"), lit("cooccur").as("pred"),
+        col("m2").as("obj"), col("doc_id").cast("string").as("url"))
+      graft.triples.KgGraph.materialize(triples).nodes
+        .select(col("surface"), col("out_degree").cast("long").as("out_degree"),
+          col("in_degree").cast("long").as("in_degree"),
+          col("degree").cast("long").as("degree"))
+        .orderBy(col("surface"))
+    }),
     "q47_kg_graph_nodes" -> ((s, _) => {
       graft.triples.KgGraph.materialize(kgTriples(s, 256, canonical = true))
         .nodes.orderBy(col("e_id"))
@@ -759,6 +775,19 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q49_kg_graph_docs" ->
+      s"""WITH m AS (SELECT * FROM ($mentionCte) WHERE pos >= 0),
+         p AS (SELECT a.mention AS m1, b.mention AS m2
+               FROM m a JOIN m b ON a.doc_id = b.doc_id
+                 AND b.pos - a.pos BETWEEN 1 AND 40),
+         outd AS (SELECT m1 AS surface, count(*) AS out_degree FROM p GROUP BY 1),
+         ind AS (SELECT m2 AS surface, count(*) AS in_degree FROM p GROUP BY 1)
+         SELECT coalesce(o.surface, i.surface) AS surface,
+           CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(coalesce(out_degree, 0) + coalesce(in_degree, 0) AS BIGINT) AS degree
+         FROM outd o FULL OUTER JOIN ind i ON o.surface = i.surface
+         ORDER BY surface""",
     // reads the fixture JSON back with DuckDB's JSON reader and re-derives
     // the reference's validation (one-to-many drop, contiguity asserts,
     // exclusive-end overlap test), lowercasing, and span arithmetic
