@@ -84,6 +84,41 @@ object Bench {
       r
     }
 
+    // wide-op scaling: the narrow flagship pipeline is shuffle-free, so it
+    // evidences map scaling only. This leg runs the MTB statement/pool
+    // chain (two dictionary groupBys + freq filters + DenseId range
+    // exchange + salted two-phase list collection — the engine's
+    // shuffle-heavy shape) on the same synthetic corpus.
+    val widePages = sys.env.getOrElse("SPARK_GRAFT_WIDE_PAGES", "200000").toLong
+    val wideReps = sys.env.getOrElse("SPARK_GRAFT_WIDE_REPS", "2").toInt
+
+    def wideRun(s: SparkSession, n: Long): Long = {
+      val sc = s.sparkContext
+      val ds = graft.statements.MtbDataset.build(
+        s, graft.fixtures.Corpus.generate(s, n),
+        sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
+        sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
+        minCount = 2, minPoolSize = 2)
+      val c = ds.pools.count()
+      s.catalog.clearCache()
+      c
+    }
+
+    def wideLeg(cores: Int): (Double, Long) = {
+      val s = session(cores)
+      wideRun(s, 2000) // warmup
+      val r = time(wideRun(s, widePages))
+      s.stop()
+      r
+    }
+
+    val widePairs = (1 to wideReps).map { _ =>
+      val (tLo, cLo) = wideLeg(nLo)
+      val (tHi, cHi) = wideLeg(nHi)
+      require(cLo == cHi, s"wide scaling runs disagree: $cLo vs $cHi")
+      (tLo, tHi, cHi)
+    }
+
     val pairs = (1 to reps).map { _ =>
       val (tLo, cLo) = leg(nLo)
       val (tHi, cHi) = leg(nHi)
@@ -109,11 +144,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val wLo = widePairs.map(_._1).min
+    val wHi = widePairs.map(_._2).min
+    val wideEff = (wLo / wHi) / factor
+    val wideScaling =
+      f"""{"pages":$widePages,"pools":${widePairs.head._3},"cores_lo":$nLo,"cores_hi":$nHi,""" +
+        f""""lo_sec":$wLo%.3f,"hi_sec":$wHi%.3f,"efficiency":$wideEff%.3f}"""
+
     val scaling =
       f"""{"pages":$scalePages,"triples":$triples32,"cores_lo":$nLo,"cores_hi":$nHi,""" +
         f""""lo_sec":$t8%.3f,"hi_sec":$t32%.3f,""" +
         f""""lo_triples_per_sec":${triples8 / t8}%.1f,"hi_triples_per_sec":${triples32 / t32}%.1f,""" +
-        f""""efficiency":$efficiency%.3f,"efficiency_best_pair":$effBest%.3f,"efficiency_median_pair":$effMedian%.3f}"""
+        f""""efficiency":$efficiency%.3f,"efficiency_best_pair":$effBest%.3f,"efficiency_median_pair":$effMedian%.3f,""" +
+        f""""wide":$wideScaling}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
