@@ -25,7 +25,7 @@ object Encode {
 
   final case class Encoded(fact: DataFrame, xDim: DataFrame, eDim: DataFrame)
 
-  /** Input columns: url, docOrd, pairOrd, tokens, e1s, e1e, e2s, e2e, e1, e2. */
+  /** Input columns: docOrd, pairOrd, tokens, e1s, e1e, e2s, e2e, e1, e2. */
   def dictEncode(st: DataFrame): Encoded = {
     val withX = st.withColumn("x_text", concat_ws(" ", col("tokens")))
 
@@ -51,12 +51,21 @@ object Encode {
         "e_id", col("first_seen"))
       .select(col("e_text"), col("e_id"))
 
+    // The x dictionary is NOT joined back onto the facts: no downstream
+    // consumer reads a per-row x_id (the reference keeps D[x -> id] as a
+    // side map too), and the join was a full-fact sort-merge on long
+    // window-text keys — the single widest shuffle of the chain. Pruning
+    // semi-joins the dim on recomputed x_text instead (pruneDims).
+    // The ENTITY dictionary is dimension-sized (distinct surface forms),
+    // so its two joins broadcast explicitly — DenseId output carries no
+    // stats, and without the hint AQE plans fact-shuffling sort-merges.
     val fact = withX
-      .join(xDim, Seq("x_text"))
-      .join(eDim.withColumnRenamed("e_text", "e1").withColumnRenamed("e_id", "e1_id"), Seq("e1"))
-      .join(eDim.withColumnRenamed("e_text", "e2").withColumnRenamed("e_id", "e2_id"), Seq("e2"))
+      .join(broadcast(
+        eDim.withColumnRenamed("e_text", "e1").withColumnRenamed("e_id", "e1_id")), Seq("e1"))
+      .join(broadcast(
+        eDim.withColumnRenamed("e_text", "e2").withColumnRenamed("e_id", "e2_id")), Seq("e2"))
       .select(
-        col("url"), col("docOrd"), col("pairOrd"), col("x_id"),
+        col("docOrd"), col("pairOrd"),
         col("e1s"), col("e1e"), col("e2s"), col("e2e"),
         col("e1_id"), col("e2_id"), col("e1"), col("e2"), col("tokens"))
     Encoded(fact, xDim, eDim)
@@ -76,9 +85,12 @@ object Encode {
   }
 
   /** Prune dimension tables to surviving fact keys (map cleanup,
-    * `mtb_data_loader.py:541-559`) — semi joins. */
+    * `mtb_data_loader.py:541-559`) — semi joins. x pruning keys on the
+    * recomputed window text (facts no longer carry x_id, see dictEncode). */
   def pruneDims(fact: DataFrame, xDim: DataFrame, eDim: DataFrame): (DataFrame, DataFrame) = {
-    val xKeep = xDim.join(fact.select("x_id").distinct(), Seq("x_id"), "left_semi")
+    val xKeep = xDim.join(
+      fact.select(concat_ws(" ", col("tokens")).as("x_text")).distinct(),
+      Seq("x_text"), "left_semi")
     val eKeys = fact.select(col("e1_id").as("e_id"))
       .unionAll(fact.select(col("e2_id").as("e_id"))).distinct()
     val eKeep = eDim.join(eKeys, Seq("e_id"), "left_semi")

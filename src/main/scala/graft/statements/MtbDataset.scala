@@ -52,6 +52,10 @@ object MtbDataset {
         Windowing.statements(doc, TriplePipeline.stableDocOrd(url), windowSize)
       }
       .toDF()
+      // url is identification-only in the MTB path (docOrd carries the
+      // deterministic order); dropping it before the persist trims every
+      // cached/shuffled row
+      .drop("url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val enc = Encode.dictEncode(statements)
