@@ -9,7 +9,12 @@ import graft.statements.Encode
 object WideScaleProbe {
 
   private def session(cores: Int): SparkSession = {
-    val s = graft.GraftSession.builder(cores, s"wide-probe-$cores").getOrCreate()
+    val b = graft.GraftSession.builder(cores, s"wide-probe-$cores")
+    // PROBE_PARTITIONS: fix shuffle partitions across legs so both core
+    // counts sort/aggregate identical partition sizes (otherwise the lo
+    // leg's 4 fat partitions pay more per-partition spill, inflating eff)
+    sys.env.get("PROBE_PARTITIONS").foreach(p => b.config("spark.sql.shuffle.partitions", p))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
