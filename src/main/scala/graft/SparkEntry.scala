@@ -466,6 +466,43 @@ object SparkEntry {
       graft.streaming.EventStream.sessionize(s, t(d, "events"), gapMin = 30)
         .orderBy(col("user_id"), col("start_us"))
     }),
+    // streaming KG ingest surfaced to the driver: the same fused pipeline
+    // lifted onto readStream (AvailableNow) must emit EXACTLY the batch
+    // pipeline's triples — the oracle pins the deterministic triple count
+    // and a zero symmetric difference
+    "q53_stream_triples" -> ((s, _) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q53")
+      val pagesDir = s"$tmp/pages"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+      Corpus.generate(s, 128).toDF().write.parquet(pagesDir)
+      val sc = s.sparkContext
+      val (kernel, _, idx2rel) = trainedKernel
+      val gazB = sc.broadcast(new Gazetteer(FixtureVocab.AllEntities))
+      val tokB = sc.broadcast(Vocab.fixtureTokenizer)
+      val kB = sc.broadcast(kernel: ScoringKernel)
+      val i2rB = sc.broadcast(idx2rel)
+      graft.streaming.TripleStream.run(s, pagesDir, outDir, ck, gazB, tokB, kB, i2rB)
+      val streamed = graft.streaming.TripleStream.readTriples(s, outDir)
+      val batch = TriplePipeline.run(s, Corpus.generate(s, 128), gazB, tokB, kB, i2rB).toDF()
+      val symDiff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+      Seq(
+        ("n_stream_triples", streamed.count()),
+        ("n_sym_diff_vs_batch", symDiff))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+    // checkpoint lineage/metrics surfaced to the driver: a two-stage
+    // checkpointed run over documents; per-stage row totals from the
+    // metrics table have exact SQL mirrors
+    "q54_checkpoint_metrics" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q54").toString
+      val cm = new graft.io.CheckpointManager(s, root, "q54")
+      val docs = s.read.parquet(t(d, "documents"))
+      val mentions = cm.stage("mentions")(KgOps.mentions(s, docs))
+      cm.stage("pairs")(KgOps.bandPairs(mentions))
+      cm.metrics.groupBy(col("stage"))
+        .agg(sum(col("rows_out")).cast("long").as("rows_out"))
+        .orderBy(col("stage"))
+    }),
     "q52_fewrel_source" -> ((s, _) => {
       // FIXED path (not a per-run temp dir): the DuckDB oracle re-reads
       // the same JSON and re-derives validation + spans independently
@@ -775,6 +812,22 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // pinned at the deterministic values: 2756 triples from the fixed-seed
+    // 128-page corpus, and ZERO symmetric difference between the streaming
+    // and batch pipelines — any incremental-ingest divergence flips this
+    "q53_stream_triples" ->
+      """SELECT * FROM (
+           SELECT 'n_stream_triples' AS metric, CAST(2756 AS BIGINT) AS value
+           UNION ALL SELECT 'n_sym_diff_vs_batch', 0)
+         ORDER BY metric""",
+    "q54_checkpoint_metrics" ->
+      s"""WITH m AS (SELECT * FROM ($mentionCte) WHERE pos >= 0),
+         p AS (SELECT a.mention FROM m a JOIN m b ON a.doc_id = b.doc_id
+               AND b.pos - a.pos BETWEEN 1 AND 40)
+         SELECT * FROM (
+           SELECT 'mentions' AS stage, CAST((SELECT count(*) FROM m) AS BIGINT) AS rows_out
+           UNION ALL SELECT 'pairs', (SELECT count(*) FROM p))
+         ORDER BY stage""",
     "q49_kg_graph_docs" ->
       s"""WITH m AS (SELECT * FROM ($mentionCte) WHERE pos >= 0),
          p AS (SELECT a.mention AS m1, b.mention AS m2
