@@ -183,6 +183,18 @@ class Round3OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted pool collection handles a Zipf-hot key and matches unsalted semantics") {
+    import spark.implicits._
+    // one pair owns 97% of the facts — the skew shape salting exists for
+    val hot = (0L until 30000L).map(i => (1L, 2L, i)) ++
+      (0L until 1000L).map(i => (3L, 4L, 30000L + i))
+    val df = hot.toDF("e1_id", "e2_id", "relation_id")
+    val pools = graft.statements.Encode.pools(df.repartition(8))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+    assert(pools((1L, 2L)) == (0L until 30000L))
+    assert(pools((3L, 4L)) == (30000L until 31000L))
+  }
+
   test("npMentions never overlaps existing gazetteer mentions") {
     val gaz = new Gazetteer(Seq("probe station"))
     val doc = Annotator.annotate(
