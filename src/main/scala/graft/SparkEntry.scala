@@ -414,6 +414,38 @@ object SparkEntry {
       graft.kernel.PairScoring.positivePairScores(embedded)
         .withColumn("score", round(col("score"), 6))
     }),
+    // blank-substitution + MLM masking with an EXACT oracle: the same
+    // Masking operators over portable per-token polynomial ids from the
+    // documents table (fixed single-token spans; q44 keeps exercising the
+    // full Corpus/WordPiece composition as rows-only)
+    "q55_masking" -> ((s, d) => {
+      import s.implicits._
+      s.read.parquet(t(d, "documents"))
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = graft.textnorm.PyText.pySplit(text)
+          if (toks.length < 6) None
+          else {
+            def poly(t: String): Int = {
+              var h = 0L; var i = 0
+              while (i < t.length) { h = (h * 31 + t.charAt(i)) % 1000000007L; i += 1 }
+              h.toInt
+            }
+            val ids: Seq[Int] = toks.map(poly).toSeq
+            val (blanked, b1, b2) = graft.statements.Masking.putBlanks(
+              ids, graft.schema.Span(1, 1), graft.schema.Span(3, 3),
+              blankId = -1, relationId = id, epoch = 0)
+            val (masked, pos, labels, starts) = graft.statements.Masking.maskSequence(
+              blanked, b1, b2, maskId = -2, relationId = id, epoch = 0)
+            Some((id, masked, pos, labels, starts._1, starts._2))
+          }
+        }
+        .toDF("doc_id", "masked_ids", "masked_pos", "labels", "e1_start", "e2_start")
+        .withColumn("masked_ids", to_json(col("masked_ids")))
+        .withColumn("masked_pos", to_json(col("masked_pos")))
+        .withColumn("labels", to_json(col("labels")))
+        .orderBy(col("doc_id"))
+    }),
     "q44_training_augment" -> ((s, _) => {
       import s.implicits._
       val sc = s.sparkContext
@@ -812,6 +844,40 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q55_masking" -> {
+      import graft.statements.PortableRng.{sqlDraw, sqlMix}
+      val thr = (0.7 * graft.statements.PortableRng.M).toLong
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, ' +', ' ', 'g')), ' ') AS toks
+                     FROM documents),
+         f AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 6),
+         ids0 AS (SELECT doc_id, n,
+             list_transform(toks, t -> CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 1000000007) AS BIGINT)) AS ids,
+             ${sqlMix("doc_id", "0")} AS kk
+           FROM f),
+         sel AS (SELECT *,
+             GREATEST(1, CAST(round(0.15 * (n - 5)) AS INTEGER)) AS n_mask,
+             ${sqlDraw("kk", "6", "1")} < $thr AS b1,
+             ${sqlDraw("kk", "6", "2")} < $thr AS b2
+           FROM ids0),
+         pick AS (SELECT *, list_sort(list_transform(
+             list_slice(list_sort(list_transform(generate_series(6, n),
+               i -> {'h': ${sqlDraw("kk", "7", "i - 1")}, 'i': i})), 1, n_mask),
+             s -> s.i)) AS picked
+           FROM sel)
+         SELECT doc_id,
+           CAST(list_transform(generate_series(1, n), j ->
+             CASE WHEN list_contains(picked, j) THEN -2
+                  WHEN j = 2 AND b1 THEN -1
+                  WHEN j = 4 AND b2 THEN -1
+                  ELSE ids[j] END) AS JSON) AS masked_ids,
+           CAST(list_transform(picked, j -> j - 1) AS JSON) AS masked_pos,
+           CAST(list_transform(picked, j -> ids[j]) AS JSON) AS labels,
+           CAST(0 AS INTEGER) AS e1_start, CAST(2 AS INTEGER) AS e2_start
+         FROM pick ORDER BY doc_id"""
+    },
     // pinned at the deterministic values: 2756 triples from the fixed-seed
     // 128-page corpus, and ZERO symmetric difference between the streaming
     // and batch pipelines — any incremental-ingest divergence flips this

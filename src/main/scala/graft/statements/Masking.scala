@@ -11,16 +11,15 @@ import graft.tokenize.BertTokenizer
   */
 object Masking {
 
-  private def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  // PortableRng draws (tags 6 = blank branches, 7 = mask selection) so the
+  // augmentation is bit-exactly replayable by the DuckDB oracle (q55);
+  // a `draw < (alpha * M).toLong` integer compare stands in for the
+  // reference's `np.random.random() < alpha`.
+  private def key(relationId: Long, epoch: Int): Long =
+    PortableRng.mix(relationId, epoch.toLong)
 
-  /** uniform [0,1) from a hash — the reference's np.random.random() slot. */
-  private def unit(h: Long): Double =
-    ((h >>> 11).toDouble) / (1L << 53).toDouble
+  private def threshold(alpha: Double): Long =
+    (alpha * PortableRng.M).toLong
 
   /** Blank substitution (`mtb_data_generator.py:68-96`): with prob alpha
     * per entity, replace the entity span tokens with a single [BLANK] id
@@ -36,8 +35,9 @@ object Masking {
     var ids = tokenIds
     var s1 = e1
     var s2 = e2
-    val blankE1 = unit(mix(relationId * 2 + 1 + epoch * 1000003L)) < alpha
-    val blankE2 = unit(mix(relationId * 2 + 2 + epoch * 1000003L)) < alpha
+    val k = key(relationId, epoch)
+    val blankE1 = PortableRng.draw(k, 6L, 1L) < threshold(alpha)
+    val blankE2 = PortableRng.draw(k, 6L, 2L) < threshold(alpha)
     if (blankE1) {
       val len1 = s1.end - s1.start + 1
       ids = ids.take(s1.start) ++ Seq(blankId) ++ ids.drop(s1.end + 1)
@@ -71,8 +71,9 @@ object Masking {
       ((e2.start - 1) to (e2.end + 1)).toSet
     val candidates = tokenIds.indices.filterNot(forbidden.contains)
     val nMask = math.max(1, math.round(maskProb * candidates.size).toInt)
+    val k = key(relationId, epoch)
     val picked = candidates
-      .sortBy(i => mix(relationId * 1000003L + epoch * 31L + i))
+      .sortBy(i => (PortableRng.draw(k, 7L, i.toLong), i))
       .take(nMask)
       .sorted
     val pickedSet = picked.toSet
