@@ -56,9 +56,17 @@ object FewRelFixture {
   /** Expected number of valid examples after the reference's filters. */
   def expectedValid: Int = Relations.length * ExamplesPerRelation
 
+  /** Atomic publish: the fixture lives at a FIXED path (both the engine
+    * query and the DuckDB oracle read it), so concurrent verify runs must
+    * never observe a partially-written file — stage to a temp name in the
+    * same directory and ATOMIC_MOVE into place. */
   def writeTo(dir: java.nio.file.Path): java.nio.file.Path = {
     val f = dir.resolve("train_wiki.json")
-    java.nio.file.Files.write(f, jsonText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tmp = java.nio.file.Files.createTempFile(dir, "train_wiki", ".tmp")
+    java.nio.file.Files.write(tmp, jsonText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     f
   }
 }

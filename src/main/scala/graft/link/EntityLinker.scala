@@ -31,14 +31,17 @@ object EntityLinker {
       numHashes: Int = 48,
       bands: Int = 16,
       smallDimThreshold: Int = 100000): DataFrame = {
-    val probe = eDimIn
-      .select(col("e_id").cast("long"), col("e_text"))
-      .limit(smallDimThreshold + 1)
-      .collect()
-    if (probe.length <= smallDimThreshold)
+    // regime probe mirrors ConnectedComponents.run: a limit+count first
+    // (no rows to the driver), the bounded collect only once the dim is
+    // provably small — a large dim never ships 100k (id, surface) rows
+    // just to discard them
+    val dimSlim = eDimIn.select(col("e_id").cast("long"), col("e_text"))
+    if (dimSlim.limit(smallDimThreshold + 1).count() <= smallDimThreshold) {
+      val probe = dimSlim.collect()
       return localCanonicalize(
         spark, probe.map(r => (r.getLong(0), r.getString(1))),
         threshold, numHashes, bands)
+    }
 
     // five consumers (LSH sigs + two text joins + comp join + canon agg);
     // the dim is dimension-sized by construction, persist it

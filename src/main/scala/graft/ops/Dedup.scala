@@ -188,8 +188,20 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       nBits: Int = 8,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8,
+      smallTableThreshold: Int = 100000): DataFrame = {
+    import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // regime split, same shape as EntityLinker.canonicalize: the
+    // distributed chain launches ~8 jobs (two sig flatMaps, bucket join,
+    // pair distinct, two vector join-backs, CC probe, final link join)
+    // whose fixed constants dwarf the work below ~100k vectors — probe
+    // with limit+count (no rows to the driver unless provably small),
+    // then run the IDENTICAL sig/probe/verify/CC constants locally
+    if (base.limit(smallTableThreshold + 1).count() <= smallTableThreshold) {
+      val rows = base.as[(Long, Array[Float])].collect()
+      return localEmbeddingClusters(spark, rows, threshold, nBits, tables, idCol)
+    }
     val edges = embeddingEdges(spark, base, threshold, nBits, tables)
     val comps = ConnectedComponents.run(spark, edges)
     base
@@ -197,6 +209,89 @@ object Dedup {
       .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("id")))
       .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** Driver-side mirror of [[embeddingEdges]] + min-id components for
+    * dimension-sized vector sets: same hyperplane seeds, same probe-1
+    * multi-probe on the query side, same CosineSimExpr arithmetic (double
+    * accumulation over floats, min-length zip), same min-id component
+    * labels — identical output to the distributed path by construction. */
+  private def localEmbeddingClusters(
+      spark: SparkSession,
+      rows: Array[(Long, Array[Float])],
+      threshold: Double,
+      nBits: Int,
+      tables: Int,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    // base buckets: one signature per (vector, table)
+    val buckets = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    val sigsByRow = Array.ofDim[Int](rows.length, tables)
+    var r = 0
+    while (r < rows.length) {
+      var t = 0
+      while (t < tables) {
+        val s = Similarity.hyperplaneSig(rows(r)._2, nBits, 0xd0d0 + t * 104729L)
+        sigsByRow(r)(t) = s
+        val k = t.toLong << 32 | (s & 0xffffffffL)
+        buckets.computeIfAbsent(k, _ => scala.collection.mutable.ArrayBuffer.empty[Int]).append(r)
+        t += 1
+      }
+      r += 1
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    // probe side: each vector probes its sig + all hamming-1 variants;
+    // candidate (a, b) iff a's BASE sig equals one of b's probe sigs
+    // (exactly the distributed join's asymmetry) — order-normalized by
+    // the id_a < id_b filter there, so verify each unordered pair once
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = root; c = n }
+      root
+    }
+    val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    r = 0
+    while (r < rows.length) {
+      val (idB, vecB) = rows(r)
+      var t = 0
+      while (t < tables) {
+        val s = sigsByRow(r)(t)
+        var p = -1 // -1 = the un-flipped sig, then one bit at a time
+        while (p < nBits) {
+          val probeSig = if (p < 0) s else s ^ (1 << p)
+          val hit = buckets.get(t.toLong << 32 | (probeSig & 0xffffffffL))
+          if (hit != null) hit.foreach { o =>
+            val idA = rows(o)._1
+            if (idA != idB) {
+              val pair = (math.min(idA, idB), math.max(idA, idB))
+              if (seen.add(pair) && cosine(rows(o)._2, vecB) >= threshold) {
+                parent.getOrElseUpdate(pair._1, pair._1)
+                parent.getOrElseUpdate(pair._2, pair._2)
+                val (ra, rb) = (find(pair._1), find(pair._2))
+                if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+              }
+            }
+          }
+          p += 1
+        }
+        t += 1
+      }
+      r += 1
+    }
+    rows.toSeq.map { case (id, _) => (id, find(id)) }
+      .toDF(idCol, "cluster_id")
   }
 
   /** Candidate generation + cosine verify for [[embeddingClusters]] —

@@ -29,6 +29,10 @@ object MtbDataset {
       xDim: DataFrame,
       eDim: DataFrame)
 
+  /** @param probe measurement hook: called once per pipeline stage with
+    *   (stageName, stageDF) so a benchmark can force + time each stage
+    *   boundary (Bench's wide-scaling per-phase evidence). The default is
+    *   a no-op — production builds stay one lazy DAG with no extra jobs. */
   def build(
       spark: SparkSession,
       pages: Dataset[WebPage],
@@ -37,7 +41,8 @@ object MtbDataset {
       minCount: Int = 2,
       minPoolSize: Int = 8,
       windowSize: Int = 40,
-      splitSeed: Long = 42L): Result = {
+      splitSeed: Long = 42L,
+      probe: (String, DataFrame) => Unit = (_, _) => ()): Result = {
     import spark.implicits._
 
     // statements as a DataFrame (url, docOrd, pairOrd, tokens, spans, e1, e2)
@@ -57,10 +62,14 @@ object MtbDataset {
       // cached/shuffled row
       .drop("url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probe("statements", statements)
 
     val enc = Encode.dictEncode(statements)
+    probe("dict_x", enc.xDim)
+    probe("dict_e", enc.eDim)
     val afterMin = Encode.freqFilter(enc.fact, minCount)
     val afterPool = Encode.freqFilter(afterMin, minPoolSize)
+    probe("freq_filter", afterPool)
     val (xDim, eDim) = Encode.pruneDims(afterPool, enc.xDim, enc.eDim)
 
     // marker insertion + tokenize + span fixup; drop rows whose markers
@@ -94,7 +103,9 @@ object MtbDataset {
     // four consumers (returned relations + pools + both entity pools)
     val withIds = Encode.withRelationIds(tokEnc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probe("tokenize_encode", withIds)
     val pools = Encode.pools(withIds, splitSeed)
+    probe("pools", pools)
     Result(
       tokenizedRelations = withIds,
       pools = pools,

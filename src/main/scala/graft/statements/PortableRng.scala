@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.lit
   * identical integer arithmetic can be evaluated by Spark Column
   * expressions (codegen'd), plain Scala Longs, and the DuckDB oracle
   * (BIGINT) with bit-exact agreement — the same portability trick that
-  * made the SimHash signature oracle-checkable (Dedup.tokenHash62).
+  * made the SimHash signature oracle-checkable (Dedup.tokenHash60).
   *
   * The reference draws from Python's global sequential `random` /
   * `np.random` streams (mtb_data_generator.py:136-192). A distributed

@@ -31,43 +31,28 @@ object WideScaleProbe {
     c
   }
 
-  /** Phase-timed single run: statements materialization vs the rest. */
-  def phases(s: SparkSession, n: Long): Seq[(String, Double)] = {
-    import org.apache.spark.sql.functions._
+  /** Phase-timed single run through MtbDataset.build's probe hook — the
+    * SAME stage boundaries the production build has (statements persist,
+    * the two dict groupBys, the freq filters, tokenize+DenseId encode,
+    * the salted pools collect), each forced and timed in order. Returns
+    * the ordered (phase, sec) list and the pool count. */
+  def phasedRun(s: SparkSession, n: Long): (Seq[(String, Double)], Long) = {
     val sc = s.sparkContext
-    val gaz = sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities))
-    val tok = sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer)
-    def t[T](f: => T): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    import s.implicits._
-    val statements = graft.triples.TriplePipeline
-      .normalizePages(graft.fixtures.Corpus.generate(s, n), graft.triples.TriplePipeline.Config())
-      .as[(String, String)]
-      .flatMap { case (url, tn) =>
-        val doc = graft.annotate.Annotator.annotate(url, tn, gaz.value)
-        graft.statements.Windowing.statements(doc, graft.triples.TriplePipeline.stableDocOrd(url))
-      }
-      .toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tStatements = t(statements.count())
-    val enc = Encode.dictEncode(statements)
-    val tXDim = t(enc.xDim.count())
-    val tEDim = t(enc.eDim.count())
-    val afterMin = Encode.freqFilter(enc.fact, 2)
-    val afterPool = Encode.freqFilter(afterMin, 2)
-    val tFact = t(afterPool.count())
-    val tokEnc = afterPool // skip tokenize detail; reuse build for rest
-    val tRest = t {
-      val ds = graft.statements.MtbDataset.build(s, graft.fixtures.Corpus.generate(s, n), gaz, tok,
-        minCount = 2, minPoolSize = 2)
-      ds.pools.count()
-    }
-    statements.unpersist()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var pools = 0L
+    graft.statements.MtbDataset.build(
+      s, graft.fixtures.Corpus.generate(s, n),
+      sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
+      sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
+      minCount = 2, minPoolSize = 2,
+      probe = (name, df) => {
+        val t0 = System.nanoTime()
+        val c = df.count()
+        buf += name -> (System.nanoTime() - t0) / 1e9
+        if (name == "pools") pools = c
+      })
     s.catalog.clearCache()
-    val _ = tokEnc
-    Seq("statements" -> tStatements, "xDim" -> tXDim, "eDim" -> tEDim,
-      "factFiltered" -> tFact, "fullBuild" -> tRest)
+    (buf.toSeq, pools)
   }
 
   def main(args: Array[String]): Unit = {
@@ -78,9 +63,10 @@ object WideScaleProbe {
         Seq(4, 16).foreach { c =>
           val s = session(c)
           run(s, 2000)
-          val ph = phases(s, n)
+          val (ph, _) = phasedRun(s, n)
           s.stop()
-          println(f"pages=$n cores=$c " + ph.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
+          println(f"pages=$n cores=$c total=${ph.map(_._2).sum}%.1f " +
+            ph.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
         }
       }
     } else sizes.foreach { n =>
