@@ -123,8 +123,12 @@ object FewRel {
       dim: Int = 64): Double = {
     import spark.implicits._
     // the labeled support set is a dimension table (FewRel: ~56k rows max);
-    // broadcast it, fan the EPISODES out across executors
+    // broadcast it, fan the EPISODES out across executors. collect() order
+    // depends on partitioning, so impose a total order first — episode i
+    // must name the same query example under any parallelism (the q56
+    // oracle pins the accuracy)
     val all = examples.collect()
+      .sortBy(ex => (ex.relation, ex.tokens.mkString(" "), ex.hStart, ex.tStart, ex.hEnd, ex.tEnd))
     require(all.nonEmpty, "no valid FewRel examples")
     val bcAll = spark.sparkContext.broadcast(all)
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   candidate set from |corpus| to bucket-local before exact re-ranking;
   *   multi-probe via several independent tables keeps recall high.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   def dotCol(a: Column, b: Column): Column =
     aggregate(
@@ -62,11 +62,74 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  private[ops] def localCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Trained coarse quantizer for [[ivfTopK]]: spherical k-means over a
+    * bounded deterministic sample (xxhash64 order — no RNG, identical
+    * under any partitioning), Lloyd-iterated on the driver.
+    *
+    * Scale shape: this is the k-means|| recipe a 100-TB corpus uses — the
+    * quantizer is always trained on a driver-sized sample (`sampleCap`
+    * rows regardless of corpus size); only ASSIGNMENT is distributed.
+    * Assignment is max-cosine (matching the probe metric); empty lists
+    * deterministically keep their previous centroid; means are accumulated
+    * in sample order, so the result is bit-stable. */
+  def trainCentroids(
+      corpus: DataFrame,
+      nLists: Int,
+      idCol: String,
+      vecCol: String,
+      sampleCap: Int = 4096,
+      iters: Int = 8): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .as[Array[Float]]
+      .collect()
+    if (sample.isEmpty) return Array.empty
+    val k = math.min(nLists, sample.length)
+    val dim = sample(0).length
+    var cents: Array[Array[Float]] = Array.tabulate(k)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.MinValue; var c = 0
+        while (c < k) {
+          val s = localCos(v, cents(c))
+          if (s > bestS) { best = c; bestS = s }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // deterministic empty-list fallback
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
   /** IVF-flat ANN — the inverted-list scale path promised in SURVEY.md's
     * similarity-search section, complementing [[lshTopK]]:
     *
-    *  - coarse quantizer: `nLists` centroids sampled deterministically from
-    *    the corpus itself (seeded hash order — no RNG, no training job);
+    *  - coarse quantizer: `nLists` centroids TRAINED by [[trainCentroids]]
+    *    (bounded-sample spherical k-means; `trainIters = 0` falls back to
+    *    the round-2/3 behavior of raw hash-ordered sample vectors);
     *    broadcast to executors
     *  - corpus vectors are assigned to their nearest centroid in one
     *    narrow map (this is the bucketBy(list_id) layout a 100-TB corpus
@@ -84,25 +147,15 @@ object Similarity {
       nLists: Int = 64,
       nProbe: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      trainIters: Int = 8): DataFrame = {
     import spark.implicits._
 
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"))
-    val centroids: Array[(Int, Array[Float])] = c
-      .withColumn("h", xxhash64(col("neighbor_id")))
-      .orderBy(col("h"))
-      .limit(nLists)
-      .select(col("c_vec"))
-      .as[Array[Float]]
-      .collect()
-      .zipWithIndex
-      .map { case (v, i) => (i, v) }
+    val centroids: Array[(Int, Array[Float])] =
+      trainCentroids(c, nLists, "neighbor_id", "c_vec", iters = trainIters)
 
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = localCos(a, b)
     def nearestLists(v: Array[Float], n: Int): Seq[Int] =
       centroids.map { case (i, cv) => (i, cos(v, cv)) }
         .sortBy { case (i, s) => (-s, i) }
