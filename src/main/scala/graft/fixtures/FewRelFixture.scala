@@ -63,10 +63,14 @@ object FewRelFixture {
   def writeTo(dir: java.nio.file.Path): java.nio.file.Path = {
     val f = dir.resolve("train_wiki.json")
     val tmp = java.nio.file.Files.createTempFile(dir, "train_wiki", ".tmp")
-    java.nio.file.Files.write(tmp, jsonText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      java.nio.file.Files.write(tmp, jsonText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally
+      // randomly-named temps would otherwise accumulate across failed runs
+      java.nio.file.Files.deleteIfExists(tmp)
     f
   }
 }

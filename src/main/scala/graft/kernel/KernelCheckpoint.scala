@@ -46,6 +46,9 @@ object KernelCheckpoint {
     val lines = Files.readString(manifest, StandardCharsets.UTF_8).linesIterator.toSeq
     if (lines.length < 2 || !lines.head.trim.matches("-?\\d+")) return None
     val epoch = lines.head.trim.toInt
-    Some((epoch, ArtifactKernel.load(dir.resolve(lines(1).trim))))
+    // a manifest naming a missing/truncated artifact is corruption too —
+    // it must read as "no checkpoint", not throw from the binary parser
+    try Some((epoch, ArtifactKernel.load(dir.resolve(lines(1).trim))))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 }

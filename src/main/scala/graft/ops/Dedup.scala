@@ -189,18 +189,24 @@ object Dedup {
       threshold: Double = 0.95,
       nBits: Int = 8,
       tables: Int = 8,
-      smallTableThreshold: Int = 100000): DataFrame = {
+      smallTableThreshold: Int = 100000,
+      maxLocalCandidatePairs: Long = 64L << 20): DataFrame = {
     import spark.implicits._
     val base = vecs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // regime split, same shape as EntityLinker.canonicalize: the
     // distributed chain launches ~8 jobs (two sig flatMaps, bucket join,
     // pair distinct, two vector join-backs, CC probe, final link join)
-    // whose fixed constants dwarf the work below ~100k vectors — probe
-    // with limit+count (no rows to the driver unless provably small),
-    // then run the IDENTICAL sig/probe/verify/CC constants locally
-    if (base.limit(smallTableThreshold + 1).count() <= smallTableThreshold) {
-      val rows = base.as[(Long, Array[Float])].collect()
-      return localEmbeddingClusters(spark, rows, threshold, nBits, tables, idCol)
+    // whose fixed constants dwarf the work below ~100k vectors. The probe
+    // IS the collect (one job total): pull up to threshold+1 rows — an
+    // overflow row proves the corpus is big and the rows are discarded —
+    // then run the IDENTICAL sig/probe/verify/CC constants locally.
+    val probe = base.limit(smallTableThreshold + 1).as[(Long, Array[Float])].collect()
+    if (probe.length <= smallTableThreshold) {
+      localEmbeddingClusters(spark, probe, threshold, nBits, tables, idCol,
+        maxLocalCandidatePairs) match {
+        case Some(df) => return df
+        case None => () // pair-volume guard tripped: distribute instead
+      }
     }
     val edges = embeddingEdges(spark, base, threshold, nBits, tables)
     val comps = ConnectedComponents.run(spark, edges)
@@ -215,14 +221,21 @@ object Dedup {
     * dimension-sized vector sets: same hyperplane seeds, same probe-1
     * multi-probe on the query side, same CosineSimExpr arithmetic (double
     * accumulation over floats, min-length zip), same min-id component
-    * labels — identical output to the distributed path by construction. */
+    * labels — identical output to the distributed path by construction.
+    *
+    * Returns None when the bucket layout predicts more candidate pairs
+    * than `maxCandidatePairs` (a duplicate-heavy corpus just under the
+    * row threshold can still be O(n^2) in pairs): the caller falls
+    * through to the distributed path, which spills instead of growing a
+    * driver HashSet. */
   private def localEmbeddingClusters(
       spark: SparkSession,
       rows: Array[(Long, Array[Float])],
       threshold: Double,
       nBits: Int,
       tables: Int,
-      idCol: String): DataFrame = {
+      idCol: String,
+      maxCandidatePairs: Long = 64L << 20): Option[DataFrame] = {
     import spark.implicits._
     // base buckets: one signature per (vector, table)
     val buckets = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
@@ -239,6 +252,12 @@ object Dedup {
       }
       r += 1
     }
+    // pair-volume guard: each probe touches its own bucket plus nBits
+    // hamming-1 buckets; sum(|bucket|^2)*(nBits+1) upper-bounds the
+    // candidate tuples the HashSet would hold
+    var predicted = 0L
+    buckets.forEach((_, b) => predicted += b.length.toLong * b.length)
+    if (predicted * (nBits + 1) > maxCandidatePairs) return None
     def cosine(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -290,8 +309,8 @@ object Dedup {
       }
       r += 1
     }
-    rows.toSeq.map { case (id, _) => (id, find(id)) }
-      .toDF(idCol, "cluster_id")
+    Some(rows.toSeq.map { case (id, _) => (id, find(id)) }
+      .toDF(idCol, "cluster_id"))
   }
 
   /** Candidate generation + cosine verify for [[embeddingClusters]] —

@@ -139,6 +139,68 @@ object Similarity extends Serializable {
     *    corpus never shuffles
     *  - exact codegen'd cosine re-rank inside the probed lists
     */
+  /** The `nProbe` centroid ids nearest to `v` by cosine (ties by id). */
+  def nearestLists(
+      centroids: Array[(Int, Array[Float])],
+      v: Array[Float],
+      n: Int): Seq[Int] =
+    centroids.map { case (i, cv) => (i, localCos(v, cv)) }
+      .sortBy { case (i, s) => (-s, i) }
+      .take(n).map(_._1).toSeq
+
+  /** Assign every corpus vector to its nearest centroid in one narrow
+    * map: (list_id, neighbor_id, c_vec). This IS the index layout — a
+    * 100-TB corpus persists it partitioned by list_id ([[IvfIndex]]), so
+    * serving scans only the probed lists. */
+  def assignLists(
+      spark: SparkSession,
+      c: DataFrame, // (neighbor_id: long, c_vec)
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(centroids)
+    c.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = cb.value
+        it.map { case (id, v) =>
+          var best = 0; var bestS = Double.MinValue
+          cents.foreach { case (i, cv) =>
+            val s = localCos(v, cv)
+            if (s > bestS || (s == bestS && i < best)) { best = i; bestS = s }
+          }
+          (best, id, v)
+        }
+      }
+      .toDF("list_id", "neighbor_id", "c_vec")
+  }
+
+  /** Broadcastable probe table: each query replicated to its `nProbe`
+    * nearest lists — (list_id, query_id, q_vec). */
+  def probeTable(
+      spark: SparkSession,
+      queries: DataFrame, // (query_id: long, q_vec)
+      centroids: Array[(Int, Array[Float])],
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cb = spark.sparkContext.broadcast(centroids)
+    queries.as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearestLists(cb.value, v, nProbe).map(l => (l, id, v)) }
+      .toDF("list_id", "query_id", "q_vec")
+  }
+
+  /** Exact codegen'd cosine re-rank of (…, query_id, neighbor_id, q_vec,
+    * c_vec) candidates to top-k per query. */
+  def rerankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   def ivfTopK(
       spark: SparkSession,
       queries: DataFrame,
@@ -149,50 +211,15 @@ object Similarity extends Serializable {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       trainIters: Int = 8): DataFrame = {
-    import spark.implicits._
-
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"))
     val centroids: Array[(Int, Array[Float])] =
       trainCentroids(c, nLists, "neighbor_id", "c_vec", iters = trainIters)
-
-    def cos(a: Array[Float], b: Array[Float]): Double = localCos(a, b)
-    def nearestLists(v: Array[Float], n: Int): Seq[Int] =
-      centroids.map { case (i, cv) => (i, cos(v, cv)) }
-        .sortBy { case (i, s) => (-s, i) }
-        .take(n).map(_._1).toSeq
-
-    val cb = spark.sparkContext.broadcast(centroids)
-    val assigned = c
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cents = cb.value
-        it.map { case (id, v) =>
-          var best = 0; var bestS = Double.MinValue
-          cents.foreach { case (i, cv) =>
-            val s = cos(v, cv)
-            if (s > bestS || (s == bestS && i < best)) { best = i; bestS = s }
-          }
-          (best, id, v)
-        }
-      }
-      .toDF("list_id", "neighbor_id", "c_vec")
-
-    val probes = broadcast(
-      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) => nearestLists(v, nProbe).map(l => (l, id, v)) }
-        .toDF("list_id", "query_id", "q_vec"))
-
-    val cand = assigned
-      .join(probes, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val assigned = assignLists(spark, c, centroids)
+    val probes = broadcast(probeTable(
+      spark,
+      queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec")),
+      centroids, nProbe))
+    rerankTopK(assigned.join(probes, Seq("list_id")), k)
   }
 
   /** All signatures within hamming distance `dist` of `sig` (dist <= 2). */
