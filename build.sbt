@@ -33,6 +33,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-XX:+AlwaysPreTouch",
   "-XX:-UseAdaptiveSizePolicy",
+)
+// Heap split: tests keep 12g (pre-touch cost paid on every `sbt test`);
+// run/runMain (Bench/Verify mains) default to 20g — the wide scaling
+// legs persist a multi-GB statements table and 12g thrashes the unified
+// memory pool at 16 threads (tools/bench.sh has set 20g since round 4;
+// this makes the bare `sbt runMain graft.Bench` invocation match it).
+Test / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+)
+Compile / run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+)
+Compile / runMain / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
