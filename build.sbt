@@ -35,19 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:-UseAdaptiveSizePolicy",
 )
 // Heap split: tests keep 12g (pre-touch cost paid on every `sbt test`);
-// run/runMain (Bench/Verify mains) default to 20g — the wide scaling
-// legs persist a multi-GB statements table and 12g thrashes the unified
-// memory pool at 16 threads (tools/bench.sh has set 20g since round 4;
-// this makes the bare `sbt runMain graft.Bench` invocation match it).
+// run/runMain (Bench/Verify mains) default to 48g — the wide scaling
+// legs persist two multi-GB tables (statements + tokenized relations at
+// 1M pages) and a 20g unified pool spilled ~5 GB per leg, turning the
+// 4-core leg superlinear (24 min vs the ~5.5 min linear extrapolation).
+// The box has 125 GiB; 48g pre-touches in ~15 s, once per bench JVM.
+// (runMain forks through the `run` settings, so one block covers both.)
 Test / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
 Compile / run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-)
-Compile / runMain / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -17,7 +17,8 @@ import graft.triples.TriplePipeline
   * (§1.8, §2.16).
   *
   * Shuffle boundaries match §3.1 exactly: the two dictionary groupBys, the
-  * two frequency groupBys and the pools groupBy; everything else is narrow.
+  * (fused) frequency groupBy and the pools groupBy; everything else is
+  * narrow.
   */
 object MtbDataset {
 
@@ -67,9 +68,19 @@ object MtbDataset {
     val enc = Encode.dictEncode(statements)
     probe("dict_x", enc.xDim)
     probe("dict_e", enc.eDim)
-    val afterMin = Encode.freqFilter(enc.fact, minCount)
-    val afterPool = Encode.freqFilter(afterMin, minPoolSize)
-    probe("freq_filter", afterPool)
+    // min_count (build) then min_pool_size (preprocess) both filter on the
+    // SAME key's count — and dropping whole (e1_id, e2_id) groups leaves
+    // every surviving group's count unchanged, so the chained filters are
+    // exactly one filter at max(minCount, minPoolSize): one count-agg +
+    // one semi join instead of two of each (the widest shuffles here).
+    //
+    // No probe boundary here: the semi join fuses into the tokenize
+    // mapPartitions stage (no exchange between them), so production runs
+    // filter+tokenize+ids as ONE stage chain — a forced count() here would
+    // time an extra full pass the real DAG never executes (and the next
+    // probe would re-run the filter anyway, double-counting it). The
+    // filter's count-agg shuffle is measured inside filter_tokenize_encode.
+    val afterPool = Encode.freqFilter(enc.fact, math.max(minCount, minPoolSize))
     val (xDim, eDim) = Encode.pruneDims(afterPool, enc.xDim, enc.eDim)
 
     // marker insertion + tokenize + span fixup; drop rows whose markers
@@ -103,7 +114,7 @@ object MtbDataset {
     // four consumers (returned relations + pools + both entity pools)
     val withIds = Encode.withRelationIds(tokEnc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probe("tokenize_encode", withIds)
+    probe("filter_tokenize_encode", withIds)
     val pools = Encode.pools(withIds, splitSeed)
     probe("pools", pools)
     Result(

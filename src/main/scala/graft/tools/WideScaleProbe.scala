@@ -33,15 +33,22 @@ object WideScaleProbe {
 
   /** Phase-timed single run through MtbDataset.build's probe hook — the
     * SAME stage boundaries the production build has (statements persist,
-    * the two dict groupBys, the freq filters, tokenize+DenseId encode,
+    * the two dict groupBys, the freq filter, tokenize+DenseId encode,
     * the salted pools collect), each forced and timed in order. Returns
     * the ordered (phase, sec) list and the pool count. */
-  def phasedRun(s: SparkSession, n: Long): (Seq[(String, Double)], Long) = {
+  def phasedRun(s: SparkSession, n: Long): (Seq[(String, Double)], Long) =
+    phasedRunOn(s, graft.fixtures.Corpus.generate(s, n))
+
+  /** Same, over a caller-supplied page set (Bench reads the shared
+    * parquet corpus so both scaling legs scan identical stored bytes). */
+  def phasedRunOn(
+      s: SparkSession,
+      pages: org.apache.spark.sql.Dataset[graft.schema.WebPage]): (Seq[(String, Double)], Long) = {
     val sc = s.sparkContext
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var pools = 0L
     graft.statements.MtbDataset.build(
-      s, graft.fixtures.Corpus.generate(s, n),
+      s, pages,
       sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
       sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
       minCount = 2, minPoolSize = 2,
