@@ -89,6 +89,7 @@ object Bench {
 
     kgRun(spark, 2000) // warmup at current level
     spark.stop()
+    System.gc() // battery + corpus-write garbage collected before any timed leg
 
     // BASELINE.md protocol: >= 3 INTERLEAVED lo/hi pairs, grade the best
     // pair. A single sample measures hypervisor noise, not the engine
@@ -103,6 +104,13 @@ object Bench {
       kgRun(s, 2000) // warmup: JIT + broadcast + parquet footers
       val r = time(kgRun(s, scalePages))
       s.stop()
+      // return the heap to a known state at an UNTIMED point: the leg's
+      // cached blocks just became garbage, and letting the next leg's
+      // allocations trigger the full collection would charge one leg for
+      // its predecessor's garbage (round-5 run 1: a mid-leg full GC of
+      // the 48g heap stalled past the heartbeat timeout and killed the
+      // bench)
+      System.gc()
       r
     }
 
@@ -155,6 +163,7 @@ object Bench {
       wideRun(s, 2000) // warmup: JIT every stage incl. pools
       val r = graft.tools.WideScaleProbe.phasedRunOn(s, widePages0(s, 0))
       s.stop()
+      System.gc() // see leg(): collect the leg's garbage off the clock
       r
     }
 

@@ -23,6 +23,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // local mode shares one JVM between driver and executor: a long
+      // stop-the-world pause (a full GC of a large fixed heap on this
+      // slow-paging microVM can exceed 2 min) must not trip the 120 s
+      // default heartbeat timeout — HeartbeatReceiver would remove the
+      // only executor, local mode cannot re-register it (no
+      // CoarseGrainedScheduler endpoint), and the session dies after 60
+      // failed heartbeats. On a real cluster these would stay at their
+      // defaults; here a stall is survivable by construction.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
 
   def get(cores: Int, app: String = "graft"): SparkSession = {
     val spark = builder(cores, app).getOrCreate()

@@ -39,7 +39,7 @@ done
 # adaptively-growing heap burns cores in the kernel. Fixed pre-touched heap
 # (same flags as build.sbt's forked run).
 GRAFT_MEM="${SPARK_DRIVER_MEM:-12g}"
-GRAFT_JVM_FLAGS="-XX:+UseParallelGC -XX:+AlwaysPreTouch -XX:-UseAdaptiveSizePolicy -Xms$GRAFT_MEM -Xmx$GRAFT_MEM -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
+GRAFT_JVM_FLAGS="-XX:+UseParallelGC -XX:+AlwaysPreTouch -XX:-UseAdaptiveSizePolicy -Xms$GRAFT_MEM -Xmx$GRAFT_MEM -Xlog:gc -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 
 graft_java() {
   # shellcheck disable=SC2086
