@@ -89,6 +89,10 @@ object Bench {
 
     kgRun(spark, 2000) // warmup at current level
     spark.stop()
+    // the battery's streaming queries loaded JVM-global state-store
+    // providers whose maintenance threads outlive the session and would
+    // spam dead-endpoint RPC errors through every timed leg below
+    org.apache.spark.sql.GraftBridge.stopStateStores()
     System.gc() // battery + corpus-write garbage collected before any timed leg
 
     // BASELINE.md protocol: >= 3 INTERLEAVED lo/hi pairs, grade the best

@@ -31,13 +31,15 @@ object EntityLinker {
       numHashes: Int = 48,
       bands: Int = 16,
       smallDimThreshold: Int = 100000): DataFrame = {
-    // regime probe mirrors ConnectedComponents.run: a limit+count first
-    // (no rows to the driver), the bounded collect only once the dim is
-    // provably small — a large dim never ships 100k (id, surface) rows
-    // just to discard them
+    // the probe IS the collect (q26 pattern): pull up to threshold+1 rows
+    // in ONE job — an overflow row proves the dim is big and the rows are
+    // discarded (≤ a few MB, paid only in the rare big-dim case), while
+    // the common small-dim case no longer evaluates its input twice (the
+    // old limit+count then collect re-ran the caller's union/distinct
+    // chain per probe)
     val dimSlim = eDimIn.select(col("e_id").cast("long"), col("e_text"))
-    if (dimSlim.limit(smallDimThreshold + 1).count() <= smallDimThreshold) {
-      val probe = dimSlim.collect()
+    val probe = dimSlim.limit(smallDimThreshold + 1).collect()
+    if (probe.length <= smallDimThreshold) {
       return localCanonicalize(
         spark, probe.map(r => (r.getLong(0), r.getString(1))),
         threshold, numHashes, bands)

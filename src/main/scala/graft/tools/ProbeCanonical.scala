@@ -55,6 +55,40 @@ object ProbeCanonical {
     t("q41 end-to-end (query fn)")(
       graft.SparkEntry.queries("q41_kg_triples_canonical")(spark, "/root/testdata/sf0.1").count())
 
+    // mirror of the q41 body, each action timed (finds where the fn's
+    // wall-clock goes — the stages above are the probe's own direct calls,
+    // NOT the query path, which routes through the regime-probed linker)
+    {
+      import org.apache.spark.storage.StorageLevel
+      spark.catalog.clearCache()
+      val raw = t("b:kgTriples raw persist") {
+        val r = graft.SparkEntry.kgTriples(spark, 512, canonical = false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        r.count(); r
+      }
+      val canon = t("b:canonicalizeKg persist") {
+        val c = graft.SparkEntry.canonicalizeKg(spark, raw).persist(StorageLevel.MEMORY_AND_DISK)
+        c.count(); c
+      }
+      val rawSurf = raw.select(col("subj").as("sf"))
+        .union(raw.select(col("obj").as("sf"))).distinct()
+      val canonSurf = canon.select(col("subj").as("sf"))
+        .union(canon.select(col("obj").as("sf"))).distinct()
+      t("b:invented anti-join")(canonSurf.join(rawSurf, Seq("sf"), "left_anti").count())
+      t("b:countDelta")(canon.count() - raw.count())
+      t("b:digest collect")(canon.agg(count(lit(1))).head())
+      val variantDim = rawSurf.select(col("sf").as("e_text"))
+        .union(rawSurf.select(concat(col("sf"), lit(" co")).as("e_text")))
+        .distinct()
+        .withColumn("e_id", xxhash64(col("e_text")))
+      val linkedV = t("b:variant canonicalize")(
+        graft.link.EntityLinker.canonicalize(spark, variantDim, threshold = 0.7))
+      val canonV = graft.link.EntityLinker.canonicalizeTriples(raw, linkedV)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      t("b:variant exceptAll")(canonV.exceptAll(raw).count())
+      t("b:variant digest")(canonV.agg(count(lit(1))).head())
+    }
+
     spark.stop()
   }
 }
