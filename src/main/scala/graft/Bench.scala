@@ -131,10 +131,17 @@ object Bench {
     // carries per-phase lo/hi efficiencies alongside the headline ratio;
     // a real shuffle-path scaling failure would show up as a specific
     // phase pinned < 0.8 across reps, not as overall-ratio noise.
-    // 1M pages: every steady phase's hi leg is >= ~15-20s, so the 1-2s
+    // 1M pages: the longest steady phase's hi leg is >= ~14s, so the 1-2s
     // per-job constant is < 10% of the leg and the ratio measures the
     // engine (at 200k the hi legs were 5-6s and the round-4 driver
-    // artifact read 0.418 steady where the same code probed 0.95)
+    // artifact read 0.418 steady where the same code probed 0.95).
+    // 1M is also the CEILING for this box: a controlled 2M probe
+    // (tools/WideBench) hit the shared-pool wall — 16 concurrent tasks
+    // quarter the per-task execution memory the 4-core leg enjoys
+    // against the same persisted chain, and the hi leg spilled/GC-
+    // thrashed to 307s vs the lo leg's 62s on the tokenize phase. A
+    // cluster sizes each executor's heap to its cores; one JVM cannot.
+    // (BASELINE.md round-5 notes.)
     val wideReps = sys.env.getOrElse("SPARK_GRAFT_WIDE_REPS", "3").toInt
 
     // wide legs pin shuffle partitions to the same count at both core
