@@ -27,39 +27,55 @@ object Encode {
 
   /** Input columns: docOrd, pairOrd, tokens, e1s, e1e, e2s, e2e, e1, e2. */
   def dictEncode(st: DataFrame): Encoded = {
-    val withX = st.withColumn("x_text", concat_ws(" ", col("tokens")))
+    val x = xDict(st)
+    val e = eDict(st)
+    Encoded(encodeFact(st, e), x, e)
+  }
 
-    // x dictionary: window text -> dense id, first-appearance order. The
-    // window-text dictionary is near-fact-cardinality (windows are mostly
-    // unique), so the dense-id assignment must NOT be a global ranking
-    // window — DenseId range-partitions on first_seen instead.
-    val xFirst = withX
+  /** x dictionary: window text -> dense id, first-appearance order. The
+    * window-text dictionary is near-fact-cardinality (windows are mostly
+    * unique), so the dense-id assignment must NOT be a global ranking
+    * window — DenseId range-partitions on first_seen instead.
+    *
+    * NOTE: DenseId's offset job runs when this is CALLED (RDD.zipWithIndex
+    * is eager) — callers that time stages must construct inside the timed
+    * window (MtbDataset.build's thunk probe). */
+  def xDict(st: DataFrame): DataFrame = {
+    val xFirst = st
+      .withColumn("x_text", concat_ws(" ", col("tokens")))
       .groupBy(col("x_text"))
       .agg(min(struct(col("docOrd"), col("pairOrd"))).as("first_seen"))
-    val xDim = DenseId
+    DenseId
       .withDenseId(xFirst, "x_id", col("first_seen"))
       .select(col("x_text"), col("x_id"))
+  }
 
-    // entity dictionary: e1 slot seen before e2 slot within a row
-    val eOcc = withX.select(col("e1").as("e_text"),
+  /** Entity dictionary: e1 slot seen before e2 slot within a row.
+    * Same eager-construction caveat as xDict. */
+  def eDict(st: DataFrame): DataFrame = {
+    val eOcc = st.select(col("e1").as("e_text"),
         struct(col("docOrd"), col("pairOrd"), lit(0).as("slot")).as("pos"))
-      .unionAll(withX.select(col("e2").as("e_text"),
+      .unionAll(st.select(col("e2").as("e_text"),
         struct(col("docOrd"), col("pairOrd"), lit(1).as("slot")).as("pos")))
-    val eDim = DenseId
+    DenseId
       .withDenseId(
         eOcc.groupBy(col("e_text")).agg(min(col("pos")).as("first_seen")),
         "e_id", col("first_seen"))
       .select(col("e_text"), col("e_id"))
+  }
 
-    // The x dictionary is NOT joined back onto the facts: no downstream
-    // consumer reads a per-row x_id (the reference keeps D[x -> id] as a
-    // side map too), and the join was a full-fact sort-merge on long
-    // window-text keys — the single widest shuffle of the chain. Pruning
-    // semi-joins the dim on recomputed x_text instead (pruneDims).
-    // The ENTITY dictionary is dimension-sized (distinct surface forms),
-    // so its two joins broadcast explicitly — DenseId output carries no
-    // stats, and without the hint AQE plans fact-shuffling sort-merges.
-    val fact = withX
+  /** Facts with entity ids attached.
+    *
+    * The x dictionary is NOT joined back onto the facts: no downstream
+    * consumer reads a per-row x_id (the reference keeps D[x -> id] as a
+    * side map too), and the join was a full-fact sort-merge on long
+    * window-text keys — the single widest shuffle of the chain. Pruning
+    * semi-joins the dim on recomputed x_text instead (pruneDims).
+    * The ENTITY dictionary is dimension-sized (distinct surface forms),
+    * so its two joins broadcast explicitly — DenseId output carries no
+    * stats, and without the hint AQE plans fact-shuffling sort-merges. */
+  def encodeFact(st: DataFrame, eDim: DataFrame): DataFrame =
+    st
       .join(broadcast(
         eDim.withColumnRenamed("e_text", "e1").withColumnRenamed("e_id", "e1_id")), Seq("e1"))
       .join(broadcast(
@@ -68,8 +84,6 @@ object Encode {
         col("docOrd"), col("pairOrd"),
         col("e1s"), col("e1e"), col("e2s"), col("e2e"),
         col("e1_id"), col("e2_id"), col("e1"), col("e2"), col("tokens"))
-    Encoded(fact, xDim, eDim)
-  }
 
   /** Pair-frequency filter (`_remove_low_freq_combs`, min_count>=2 at build;
     * min_pool_size at preprocess): partial+final hash agg then a semi join
@@ -100,9 +114,13 @@ object Encode {
   /** Dense relation ids in (docOrd, pairOrd) order — the reference's
     * np.arange(len(data)) after filtering (`mtb_data_loader.py:249`).
     * Runs over the FACT table, so a global ranking window would move every
-    * statement through a single task; DenseId keeps it range-partitioned. */
+    * statement through a single task. The bounded-driver-ranking probe
+    * assigns ids from ONE column-pruned key pass when the fact count is
+    * within the driver bound (the fat token rows never exchange);
+    * otherwise DenseId's range exchange runs — ids are bit-identical
+    * either way. */
   def withRelationIds(fact: DataFrame): DataFrame =
-    DenseId.withDenseId(fact, "relation_id", col("docOrd"), col("pairOrd"))
+    DenseId.withDenseIdProbed(fact, "relation_id", "docOrd", "pairOrd")
 
   /** Two-phase salted list collection: a Zipfian-hot key (one entity pair
     * dominating the corpus) otherwise concentrates its entire list in a

@@ -31,9 +31,16 @@ object MtbDataset {
       eDim: DataFrame)
 
   /** @param probe measurement hook: called once per pipeline stage with
-    *   (stageName, stageDF) so a benchmark can force + time each stage
-    *   boundary (Bench's wide-scaling per-phase evidence). The default is
-    *   a no-op — production builds stay one lazy DAG with no extra jobs. */
+    *   (stageName, constructThunk). The thunk CONSTRUCTS the stage's
+    *   DataFrame — construction itself can run Spark jobs (DenseId's
+    *   RDD.zipWithIndex materializes its range exchange eagerly), so a
+    *   benchmark that wants honest per-stage times must invoke the thunk
+    *   INSIDE its timed window and then force the result (Bench's
+    *   wide-scaling per-phase evidence; before round 5 the probe received
+    *   an already-built DataFrame and those construction jobs fell between
+    *   the timed windows). The probe MUST invoke the thunk exactly once;
+    *   the default just constructs — production builds stay one lazy DAG
+    *   with no extra jobs. */
   def build(
       spark: SparkSession,
       pages: Dataset[WebPage],
@@ -43,80 +50,136 @@ object MtbDataset {
       minPoolSize: Int = 8,
       windowSize: Int = 40,
       splitSeed: Long = 42L,
-      probe: (String, DataFrame) => Unit = (_, _) => ()): Result = {
+      broadcastPairsMax: Long = 1000000L,
+      probe: (String, () => DataFrame) => Unit = (_, f) => { f(); () }): Result = {
     import spark.implicits._
 
-    // statements as a DataFrame (url, docOrd, pairOrd, tokens, spans, e1, e2)
-    // — persisted: dictEncode alone scans it four times (x dict, both
-    // e-occurrence unions, fact join); without the persist the whole
-    // scan→annotate→window pass re-runs per consumer
-    val statements = TriplePipeline
-      .normalizePages(pages, TriplePipeline.Config(windowSize = windowSize))
-      .as[(String, String)]
-      .flatMap { case (url, textNorm) =>
-        val doc = graft.annotate.Annotator.annotate(url, textNorm, gaz.value)
-        Windowing.statements(doc, TriplePipeline.stableDocOrd(url), windowSize)
-      }
-      .toDF()
-      // url is identification-only in the MTB path (docOrd carries the
-      // deterministic order); dropping it before the persist trims every
-      // cached/shuffled row
-      .drop("url")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probe("statements", statements)
+    def stage(name: String)(f: => DataFrame): DataFrame = {
+      var out: DataFrame = null
+      probe(name, () => { out = f; out })
+      require(out != null, s"probe for stage '$name' did not invoke the construction thunk")
+      out
+    }
 
-    val enc = Encode.dictEncode(statements)
-    probe("dict_x", enc.xDim)
-    probe("dict_e", enc.eDim)
+    // statements as a DataFrame (url, docOrd, pairOrd, tokens, spans, e1, e2)
+    // — persisted: the dictionaries and the fact join scan it four times;
+    // without the persist the whole scan→annotate→window pass re-runs per
+    // consumer
+    val statements = stage("statements") {
+      TriplePipeline
+        .normalizePages(pages, TriplePipeline.Config(windowSize = windowSize))
+        .as[(String, String)]
+        .flatMap { case (url, textNorm) =>
+          val doc = graft.annotate.Annotator.annotate(url, textNorm, gaz.value)
+          Windowing.statements(doc, TriplePipeline.stableDocOrd(url), windowSize)
+        }
+        .toDF()
+        // url is identification-only in the MTB path (docOrd carries the
+        // deterministic order); dropping it before the persist trims every
+        // cached/shuffled row
+        .drop("url")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val xDim0 = stage("dict_x") { Encode.xDict(statements) }
+    // the entity dictionary is dimension-sized (distinct surface forms) and
+    // is consumed three times (two broadcast builds in encodeFact + the
+    // prune semi join) — persisted so each broadcast reads the tiny cache
+    // instead of re-running the dictionary plan
+    val eDim0 = stage("dict_e") {
+      Encode.eDict(statements)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val fact = Encode.encodeFact(statements, eDim0)
+
     // min_count (build) then min_pool_size (preprocess) both filter on the
     // SAME key's count — and dropping whole (e1_id, e2_id) groups leaves
     // every surviving group's count unchanged, so the chained filters are
     // exactly one filter at max(minCount, minPoolSize): one count-agg +
-    // one semi join instead of two of each (the widest shuffles here).
+    // one semi join instead of two of each.
     //
-    // No probe boundary here: the semi join fuses into the tokenize
-    // mapPartitions stage (no exchange between them), so production runs
-    // filter+tokenize+ids as ONE stage chain — a forced count() here would
-    // time an extra full pass the real DAG never executes (and the next
-    // probe would re-run the filter anyway, double-counting it). The
-    // filter's count-agg shuffle is measured inside filter_tokenize_encode.
-    val afterPool = Encode.freqFilter(enc.fact, math.max(minCount, minPoolSize))
-    val (xDim, eDim) = Encode.pruneDims(afterPool, enc.xDim, enc.eDim)
+    // The keep set is computed from the persisted STATEMENTS on the surface
+    // (e1, e2) text keys — a bijection of the id keys, so the groups are
+    // identical — which column-prunes the count-agg scan to two string
+    // columns instead of recomputing the whole dictionary join a second
+    // time as the semi join's build side. Regime split (the EntityLinker /
+    // embedding-dedup idiom): one bounded collect probes the surviving-pair
+    // dictionary; at or below broadcastPairsMax the collected set IS the
+    // broadcast — the fact side then never exchanges, and the filter fuses
+    // into the tokenize mapPartitions stage as one narrow chain. Above the
+    // bound (web-scale corpora where the pair dictionary is itself huge)
+    // it falls back to the distributed semi join, whose shuffle is the
+    // correct shape at that size.
+    val minKeep = math.max(minCount, minPoolSize)
+    var afterPool: DataFrame = null
 
     // marker insertion + tokenize + span fixup; drop rows whose markers
     // vanish (ValueError path) — counted by the caller via metrics.
     // Per-partition wordpiece memo, same as the fused inference pipeline:
     // statement windows draw from a near-closed vocabulary, so each
     // distinct surface tokenizes once per partition, not once per row.
-    val tokEnc = afterPool
-      .mapPartitions { rows =>
-        val tok = tokenizer.value
-        val cache = new java.util.HashMap[String, Seq[String]](4096)
-        rows.map { row =>
-          val tokens: Seq[String] =
-            row.getAs[scala.collection.Seq[String]]("tokens").toSeq
-          val e1 = graft.schema.Span(row.getAs[Int]("e1s"), row.getAs[Int]("e1e"))
-          val e2 = graft.schema.Span(row.getAs[Int]("e2s"), row.getAs[Int]("e2e"))
-          val encOpt = Markers.encodeCached(tok, cache)(tokens, e1, e2)
-          (
-            row.getAs[Long]("docOrd"),
-            row.getAs[Int]("pairOrd"),
-            row.getAs[Long]("e1_id"),
-            row.getAs[Long]("e2_id"),
-            encOpt.map(_.tokenIds).orNull,
-            encOpt.map(e => Seq(e.e1Span.start, e.e1Span.end)).orNull,
-            encOpt.map(e => Seq(e.e2Span.start, e.e2Span.end)).orNull)
+    //
+    // Persisted HERE (not after DenseId): the relation-id range exchange
+    // samples its input before partitioning it, and without a
+    // materialization boundary that sample pass recomputes the entire
+    // join+tokenize chain a second time (measured: the tokenize map was
+    // ~25% of the wide chain's CPU, paid twice). Caching the tokenized
+    // rows makes the first consumer the cache-population pass; the id
+    // assignment and every downstream consumer then read cached bytes.
+    val tokEnc = stage("filter_tokenize_encode") {
+      afterPool =
+        if (minKeep <= 1) fact
+        else {
+          val keepPairs = statements
+            .groupBy(col("e1"), col("e2")).count()
+            .filter(col("count") >= minKeep)
+            .select(col("e1"), col("e2"))
+          // fused regime probe (the q26 pattern): ONE bounded collect —
+          // limit max+1 rows — decides the regime AND, in the broadcast
+          // regime, already holds the keep set, so the broadcast builds
+          // from a LocalRelation instead of re-running the aggregation as
+          // the join's build side
+          val cap = math.min(broadcastPairsMax + 1, Int.MaxValue.toLong).toInt
+          val local = keepPairs.limit(cap).collect()
+          if (local.length <= broadcastPairsMax) {
+            val localDf = spark.createDataFrame(
+              java.util.Arrays.asList(local: _*), keepPairs.schema)
+            fact.join(broadcast(localDf), Seq("e1", "e2"), "left_semi")
+          } else fact.join(keepPairs, Seq("e1", "e2"), "left_semi")
         }
-      }
-      .toDF("docOrd", "pairOrd", "e1_id", "e2_id", "token_ids", "e1_span", "e2_span")
-      .filter(col("token_ids").isNotNull)
+      afterPool
+        .mapPartitions { rows =>
+          val tok = tokenizer.value
+          val cache = new java.util.HashMap[String, Seq[String]](4096)
+          rows.map { row =>
+            val tokens: Seq[String] =
+              row.getAs[scala.collection.Seq[String]]("tokens").toSeq
+            val e1 = graft.schema.Span(row.getAs[Int]("e1s"), row.getAs[Int]("e1e"))
+            val e2 = graft.schema.Span(row.getAs[Int]("e2s"), row.getAs[Int]("e2e"))
+            val encOpt = Markers.encodeCached(tok, cache)(tokens, e1, e2)
+            (
+              row.getAs[Long]("docOrd"),
+              row.getAs[Int]("pairOrd"),
+              row.getAs[Long]("e1_id"),
+              row.getAs[Long]("e2_id"),
+              encOpt.map(_.tokenIds).orNull,
+              encOpt.map(e => Seq(e.e1Span.start, e.e1Span.end)).orNull,
+              encOpt.map(e => Seq(e.e2Span.start, e.e2Span.end)).orNull)
+          }
+        }
+        .toDF("docOrd", "pairOrd", "e1_id", "e2_id", "token_ids", "e1_span", "e2_span")
+        .filter(col("token_ids").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val (xDim, eDim) = Encode.pruneDims(afterPool, xDim0, eDim0)
 
-    // four consumers (returned relations + pools + both entity pools)
-    val withIds = Encode.withRelationIds(tokEnc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probe("filter_tokenize_encode", withIds)
-    val pools = Encode.pools(withIds, splitSeed)
-    probe("pools", pools)
+    // dense relation ids over the cached tokenized rows; NOT persisted —
+    // the heavy bytes live in the tokEnc cache, and each consumer's id
+    // attach is a cheap cache read (persisting here too would hold a
+    // near-duplicate of tokEnc in the storage pool for no second scan
+    // saved)
+    val withIds = stage("relation_ids") { Encode.withRelationIds(tokEnc) }
+    val pools = stage("pools") { Encode.pools(withIds, splitSeed) }
     Result(
       tokenizedRelations = withIds,
       pools = pools,

@@ -47,17 +47,30 @@ object WideScaleProbe {
     val sc = s.sparkContext
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var pools = 0L
+    val w0 = System.nanoTime()
+    // probe contract: the thunk CONSTRUCTS the stage (construction can run
+    // Spark jobs — DenseId's zipWithIndex offsets job materializes the
+    // whole upstream, including the freq-filter semi join and tokenize
+    // mapPartitions) — so construct AND force inside the timed window.
+    // Before round 5 the probe timed only count() on a pre-built DataFrame
+    // and those construction jobs fell between the windows untimed.
     graft.statements.MtbDataset.build(
       s, pages,
       sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
       sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
       minCount = 2, minPoolSize = 2,
-      probe = (name, df) => {
+      probe = (name, thunk) => {
         val t0 = System.nanoTime()
-        val c = df.count()
+        val c = thunk().count()
         buf += name -> (System.nanoTime() - t0) / 1e9
         if (name == "pools") pools = c
       })
+    // residual = plan construction/analysis between stage windows; a large
+    // residual would mean a stage is doing untimed work again — kept as an
+    // always-present phase so the artifact self-audits (hi-leg residual
+    // < 2 s keeps it out of Bench's steady aggregate by construction)
+    val wall = (System.nanoTime() - w0) / 1e9
+    buf += "residual" -> math.max(0.0, wall - buf.map(_._2).sum)
     s.catalog.clearCache()
     (buf.toSeq, pools)
   }
