@@ -42,27 +42,6 @@ object Bench {
     // 0.81-0.93; the gap was the constant plus hypervisor variance)
     val scalePages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "2000000").toLong
 
-    // ---- query battery at the driver-requested parallelism ----
-    var spark = session(cpus)
-    // warm the JIT + parquet footers once with the cheapest query
-    try SparkEntry.queries("q12_lang_profile")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    // best-of-N per query: single samples on this hypervisor vary ~2x
-    // (same best-of protocol as the scaling legs / BASELINE.md)
-    val batteryReps = sys.env.getOrElse("SPARK_GRAFT_BATTERY_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to batteryReps).map { _ =>
-        val (sec, _) =
-          try time(fn(spark, sfDir).count())
-          catch { case _: Throwable => (-1.0, 0L) }
-        // queries persist their multiply-consumed stages; drop them between
-        // measurements so no query pays another's cached blocks
-        spark.catalog.clearCache()
-        sec
-      }
-      name -> (if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0)
-    }
-
     // ---- scaling: same job, same input, N vs 4N cores ----
     // Pair choice: local[4] vs local[16]. A CPU-bound probe shows this VM
     // delivers ~25.6 effective cores at 32 threads but a full 15.8 at 16
@@ -84,16 +63,17 @@ object Bench {
     val widePages = sys.env.getOrElse("SPARK_GRAFT_WIDE_PAGES", "1000000").toLong
     val corpusPath =
       s"${sys.props("java.io.tmpdir")}/graft-bench-corpus-$widePages.parquet"
-    graft.fixtures.Corpus.generate(spark, widePages)
+    // the scaling legs run FIRST, on the cleanest heap this JVM will ever
+    // have: a full pass measured the wide hi leg ~1.5-1.8x slower when the
+    // legs inherited the battery's + corpus-write's old-gen history
+    // (identical code measured standalone), and the legs are the
+    // gate-bound artifact — the battery runs last and is best-of-N anyway
+    val corpusSession = session(cpus)
+    graft.fixtures.Corpus.generate(corpusSession, widePages)
       .write.mode("overwrite").parquet(corpusPath)
-
-    kgRun(spark, 2000) // warmup at current level
-    spark.stop()
-    // the battery's streaming queries loaded JVM-global state-store
-    // providers whose maintenance threads outlive the session and would
-    // spam dead-endpoint RPC errors through every timed leg below
-    org.apache.spark.sql.GraftBridge.stopStateStores()
-    System.gc() // battery + corpus-write garbage collected before any timed leg
+    kgRun(corpusSession, 2000) // JIT warmup for the narrow pipeline
+    corpusSession.stop()
+    System.gc() // corpus-write garbage collected before any timed leg
 
     // BASELINE.md protocol: >= 3 INTERLEAVED lo/hi pairs, grade the best
     // pair. A single sample measures hypervisor noise, not the engine
@@ -192,6 +172,29 @@ object Bench {
       (tLo, tHi, cHi)
     }
     val factor = nHi.toDouble / nLo
+
+    // ---- query battery at the driver-requested parallelism (LAST: the
+    // battery's streaming state stores and ~60 queries' garbage would
+    // otherwise tax every scaling leg above) ----
+    val spark = session(cpus)
+    // warm the JIT + parquet footers once with the cheapest query
+    try SparkEntry.queries("q12_lang_profile")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    // best-of-N per query: single samples on this hypervisor vary ~2x
+    // (same best-of protocol as the scaling legs / BASELINE.md)
+    val batteryReps = sys.env.getOrElse("SPARK_GRAFT_BATTERY_REPS", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to batteryReps).map { _ =>
+        val (sec, _) =
+          try time(fn(spark, sfDir).count())
+          catch { case _: Throwable => (-1.0, 0L) }
+        // queries persist their multiply-consumed stages; drop them between
+        // measurements so no query pays another's cached blocks
+        spark.catalog.clearCache()
+        sec
+      }
+      name -> (if (runs.exists(_ >= 0)) runs.filter(_ >= 0).min else -1.0)
+    }
     // headline statistic: MEDIAN interleaved pair — each pair samples the
     // same hypervisor load window (so its ratio is drift-robust) and the
     // median is outlier-robust across pairs; a pair that never ran

@@ -35,32 +35,48 @@ object Encode {
   /** x dictionary: window text -> dense id, first-appearance order. The
     * window-text dictionary is near-fact-cardinality (windows are mostly
     * unique), so the dense-id assignment must NOT be a global ranking
-    * window — DenseId range-partitions on first_seen instead.
+    * window. The aggregated first-seen table persists (it is scanned by
+    * both the rank probe and the id attach), and ids come from DenseId's
+    * bounded-driver rank table — no range exchange of the window text;
+    * above the driver bound the classic range-partitioned path runs.
     *
-    * NOTE: DenseId's offset job runs when this is CALLED (RDD.zipWithIndex
-    * is eager) — callers that time stages must construct inside the timed
-    * window (MtbDataset.build's thunk probe). */
+    * NOTE: the rank probe (or DenseId's offset job on the fallback path)
+    * runs when this is CALLED — callers that time stages must construct
+    * inside the timed window (MtbDataset.build's thunk probe). */
   def xDict(st: DataFrame): DataFrame = {
     val xFirst = st
       .withColumn("x_text", concat_ws(" ", col("tokens")))
       .groupBy(col("x_text"))
-      .agg(min(struct(col("docOrd"), col("pairOrd"))).as("first_seen"))
+      .agg(min(struct(col("docOrd"), col("pairOrd"))).as("fs"))
+      .select(
+        col("x_text"),
+        col("fs.docOrd").as("__d"), col("fs.pairOrd").as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DenseId
-      .withDenseId(xFirst, "x_id", col("first_seen"))
+      .withDenseIdProbed(xFirst, "x_id", "__d", "__p")
       .select(col("x_text"), col("x_id"))
   }
 
-  /** Entity dictionary: e1 slot seen before e2 slot within a row.
-    * Same eager-construction caveat as xDict. */
+  /** Entity dictionary: e1 slot seen before e2 slot within a row. The
+    * three-field first-seen order (docOrd, pairOrd, slot) packs losslessly
+    * into (docOrd, pairOrd*2 + slot) — slot is 0/1 — so the bounded-rank
+    * DenseId applies; its 31-bit guard falls back to the range exchange
+    * if pairOrd ever exceeds 2^30. Dimension-sized agg output persists
+    * across the probe and attach passes. */
   def eDict(st: DataFrame): DataFrame = {
     val eOcc = st.select(col("e1").as("e_text"),
         struct(col("docOrd"), col("pairOrd"), lit(0).as("slot")).as("pos"))
       .unionAll(st.select(col("e2").as("e_text"),
         struct(col("docOrd"), col("pairOrd"), lit(1).as("slot")).as("pos")))
+    val eFirst = eOcc
+      .groupBy(col("e_text")).agg(min(col("pos")).as("fs"))
+      .select(
+        col("e_text"),
+        col("fs.docOrd").as("__d"),
+        (col("fs.pairOrd").cast("long") * 2 + col("fs.slot")).as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DenseId
-      .withDenseId(
-        eOcc.groupBy(col("e_text")).agg(min(col("pos")).as("first_seen")),
-        "e_id", col("first_seen"))
+      .withDenseIdProbed(eFirst, "e_id", "__d", "__p")
       .select(col("e_text"), col("e_id"))
   }
 
