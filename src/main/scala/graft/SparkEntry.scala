@@ -38,6 +38,32 @@ object SparkEntry {
       cols.map(c => coalesce(c.cast("string"), lit("\u0007"))): _*)),
       lit(1000000007L))).cast("long")
 
+  /** Run independent Spark actions from two/three driver threads so their
+    * jobs overlap (optimization-guide job-overlap idiom): actions are only
+    * sequential because driver code calls them sequentially, and the FIFO
+    * scheduler back-fills cores one job's straggler tail leaves idle with
+    * the next job's tasks. Used by multi-leg evidence queries (q28, q41)
+    * whose legs share only already-persisted inputs. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
+  private def inParallel3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(a)
+    val fb = Future(b)
+    val fc = Future(c)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
+  }
+
   /** (metric, value BIGINT) rows from one aggregate pass — the pin shape. */
   private def metricRows(df: DataFrame, aggs: (String, org.apache.spark.sql.Column)*): DataFrame = {
     val agged = df.agg(
@@ -339,24 +365,30 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nEx = exact.count().toDouble
-      val lshR = rec(exact, Similarity.lshTopK(s, q, e, 5), nEx)
-      val ivfR = rec(exact, Similarity.ivfTopK(s, q, e, 5), nEx)
+      // the three recall legs are independent given the persisted exact
+      // baseline — overlap their jobs (clustered leg included: it touches
+      // only its own in-query fixture)
+      val (lshR, ivfR, (cIvfR, cnEx)) = inParallel3(
+        rec(exact, Similarity.lshTopK(s, q, e, 5), nEx),
+        rec(exact, Similarity.ivfTopK(s, q, e, 5), nEx), {
+          // the honest >= 0.9 IVF claim lives on a CLUSTERED corpus (the
+          // regime ANN indexes exist for); generated deterministically
+          // in-query, exact ground truth recomputed by the engine, recall
+          // of the k-means-trained IVF path gated at the driver (round-3
+          // VERDICT "What's missing" #3 — this evidence previously lived
+          // only in Round2OpsSpec)
+          val cv = graft.fixtures.ClusteredVecs.generate(s, 1024, 32, 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cq = cv.filter(col("vec_id") < 32)
+          val cExact = Similarity.bruteForceTopK(cq, cv, 5)
+            .select(col("query_id"), col("neighbor_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cn = cExact.count().toDouble
+          val r = rec(cExact, Similarity.ivfTopK(s, cq, cv, 5, nLists = 32, nProbe = 4), cn)
+          cExact.unpersist(); cv.unpersist()
+          (r, cn)
+        })
       exact.unpersist()
-      // the honest >= 0.9 IVF claim lives on a CLUSTERED corpus (the
-      // regime ANN indexes exist for); generated deterministically
-      // in-query, exact ground truth recomputed by the engine, recall of
-      // the k-means-trained IVF path gated at the driver (round-3 VERDICT
-      // "What's missing" #3 — this evidence previously lived only in
-      // Round2OpsSpec)
-      val cv = graft.fixtures.ClusteredVecs.generate(s, 1024, 32, 32)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cq = cv.filter(col("vec_id") < 32)
-      val cExact = Similarity.bruteForceTopK(cq, cv, 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnEx = cExact.count().toDouble
-      val cIvfR = rec(cExact, Similarity.ivfTopK(s, cq, cv, 5, nLists = 32, nProbe = 4), cnEx)
-      cExact.unpersist(); cv.unpersist()
       Seq(
         ("ivf_clustered_recall_ge_090", if (cIvfR >= 0.90) 1L else 0L),
         ("ivf_recall_ge_070", if (ivfR >= 0.70) 1L else 0L),
@@ -516,35 +548,46 @@ object SparkEntry {
       // construction, a third less work
       val raw = kgTriples(s, 512, canonical = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val canon = canonicalizeKg(s, raw)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRaw = raw.count() // populates the cache; the countDelta input
       // dim-sized; consumed by the invented check and (twice) the variant
       // dim — persist so the distinct over raw runs once, not four times
       val rawSurf = raw.select(col("subj").as("sf"))
         .union(raw.select(col("obj").as("sf"))).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val canonSurf = canon.select(col("subj").as("sf"))
-        .union(canon.select(col("obj").as("sf"))).distinct()
-      val invented = canonSurf.join(rawSurf, Seq("sf"), "left_anti").count()
-      val Seq(digest, n) = metricRows(
-        canon,
-        "digest" -> contentDigest(col("subj"), col("pred"), col("obj"), col("url")),
-        "n_triples" -> count(lit(1)))
-        .orderBy("metric").as[(String, Long)].collect().map(_._2).toSeq
-      val countDelta = n - raw.count() // n is canon's count — one job saved
-
-      val variantDim = rawSurf.select(col("sf").as("e_text"))
-        .union(rawSurf.select(concat(col("sf"), lit(" co")).as("e_text")))
-        .distinct()
-        .withColumn("e_id", xxhash64(col("e_text")))
-      val linkedV = graft.link.EntityLinker.canonicalize(s, variantDim, threshold = 0.7)
-      val canonV = graft.link.EntityLinker.canonicalizeTriples(raw, linkedV)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changedV = canonV.exceptAll(raw).count()
-      val digestV = canonV
-        .agg(contentDigest(col("subj"), col("pred"), col("obj"), col("url")).as("d"))
-        .as[Long].head()
-      raw.unpersist(); canon.unpersist(); canonV.unpersist(); rawSurf.unpersist()
+      rawSurf.count() // force once so the forked legs read the cache
+      // the canonical leg and the adversarial variant leg share only the
+      // persisted raw/rawSurf inputs — run them concurrently so one leg's
+      // straggler tails back-fill with the other leg's tasks
+      val ((invented, digest, n), (changedV, digestV)) = inParallel({
+        val canon = canonicalizeKg(s, raw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val canonSurf = canon.select(col("subj").as("sf"))
+          .union(canon.select(col("obj").as("sf"))).distinct()
+        val inv = canonSurf.join(rawSurf, Seq("sf"), "left_anti").count()
+        val Seq(dg, nn) = metricRows(
+          canon,
+          "digest" -> contentDigest(col("subj"), col("pred"), col("obj"), col("url")),
+          "n_triples" -> count(lit(1)))
+          .orderBy("metric").as[(String, Long)].collect().map(_._2).toSeq
+        canon.unpersist()
+        (inv, dg, nn)
+      }, {
+        val variantDim = rawSurf.select(col("sf").as("e_text"))
+          .union(rawSurf.select(concat(col("sf"), lit(" co")).as("e_text")))
+          .distinct()
+          .withColumn("e_id", xxhash64(col("e_text")))
+        val linkedV = graft.link.EntityLinker.canonicalize(s, variantDim, threshold = 0.7)
+        val canonV = graft.link.EntityLinker.canonicalizeTriples(raw, linkedV)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val chV = canonV.exceptAll(raw).count()
+        val dgV = canonV
+          .agg(contentDigest(col("subj"), col("pred"), col("obj"), col("url")).as("d"))
+          .as[Long].head()
+        canonV.unpersist()
+        (chV, dgV)
+      })
+      val countDelta = n - nRaw
+      raw.unpersist(); rawSurf.unpersist()
       Seq(
         ("digest", digest),
         ("n_canon_surfaces_not_in_raw", invented),
@@ -572,7 +615,9 @@ object SparkEntry {
         s, Corpus.generate(s, 256),
         sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
         sc.broadcast(Vocab.fixtureTokenizer),
-        minCount = 2, minPoolSize = 2)
+        // dims are never consumed on the pair-scoring path — skip the
+        // window-text dictionary's groupBy + rank probe
+        minCount = 2, minPoolSize = 2, needDims = false)
       val poolId = col("e1_id") * lit(1000000L) + col("e2_id")
       val embedded = graft.kernel.PairScoring.embed(
         s, ds.tokenizedRelations.withColumn("pool_id", poolId))
@@ -606,7 +651,7 @@ object SparkEntry {
         s, Corpus.generate(s, 256),
         sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
         sc.broadcast(Vocab.fixtureTokenizer),
-        minCount = 2, minPoolSize = 2)
+        minCount = 2, minPoolSize = 2, needDims = false)
       val poolId = col("e1_id") * lit(1000000L) + col("e2_id")
       val losses = graft.kernel.PairScoring.embed(
         s, ds.tokenizedRelations.withColumn("pool_id", poolId))
@@ -733,7 +778,7 @@ object SparkEntry {
       val ds = graft.statements.MtbDataset.build(
         s, Corpus.generate(s, 256),
         sc.broadcast(new Gazetteer(FixtureVocab.AllEntities)),
-        tokB, minCount = 2, minPoolSize = 2)
+        tokB, minCount = 2, minPoolSize = 2, needDims = false)
       ds.tokenizedRelations
         .select(col("relation_id"), col("token_ids"), col("e1_span"), col("e2_span"))
         .as[(Long, Seq[Int], Seq[Int], Seq[Int])]
@@ -802,12 +847,34 @@ object SparkEntry {
       val tokB = sc.broadcast(Vocab.fixtureTokenizer)
       val kB = sc.broadcast(kernel: ScoringKernel)
       val i2rB = sc.broadcast(idx2rel)
-      graft.streaming.TripleStream.run(s, pagesDir, outDir, ck, gazB, tokB, kB, i2rB)
-      val streamed = graft.streaming.TripleStream.readTriples(s, outDir)
+      // the streaming ingest and the batch reference pipeline are
+      // independent until the comparison — overlap them, so the batch
+      // leg's narrow pass back-fills cores the micro-batch machinery
+      // leaves idle
       val batch = TriplePipeline.run(s, Corpus.generate(s, 128), gazB, tokB, kB, i2rB).toDF()
-      val symDiff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      inParallel(
+        graft.streaming.TripleStream.run(s, pagesDir, outDir, ck, gazB, tokB, kB, i2rB),
+        batch.count())
+      val streamed = graft.streaming.TripleStream.readTriples(s, outDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nStream = streamed.count()
+      // one-pass multiset symmetric difference: |A\B| + |B\A| over
+      // multisets is sum over distinct rows of |countA - countB| — the
+      // same value the two exceptAll legs computed, with one aggregation
+      // per side instead of two generate+agg+join chains
+      val keyCols = streamed.columns.toSeq
+      val symDiff = streamed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__ca"))
+        .join(
+          batch.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cb")),
+          keyCols, "full_outer")
+        .agg(coalesce(
+          sum(abs(coalesce(col("__ca"), lit(0L)) - coalesce(col("__cb"), lit(0L)))),
+          lit(0L)).as("d"))
+        .as[Long].head()
+      streamed.unpersist(); batch.unpersist()
       Seq(
-        ("n_stream_triples", streamed.count()),
+        ("n_stream_triples", nStream),
         ("n_sym_diff_vs_batch", symDiff))
         .toDF("metric", "value").orderBy("metric")
     }),

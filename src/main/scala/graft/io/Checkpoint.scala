@@ -43,24 +43,33 @@ final class CheckpointManager(spark: SparkSession, root: String, runId: String) 
       val wallMs = (System.nanoTime() - t0) / 1000000L
 
       // per-partition lineage over the MATERIALIZED stage output: stable
-      // across resume because it reads the written files, not the plan
+      // across resume because it reads the written files, not the plan.
+      // ONE scan: the lineage is partition-count-sized, so collect it and
+      // derive the manifest totals (row count, checksum) locally — the
+      // previous shape re-scanned the stage output three times (metrics
+      // write, rows count, checksum aggregate)
       val written = spark.read.parquet(stageDir(name))
-      val lineage = written
+      val lineageLocal = written
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(
           count(lit(1)).as("rows_out"),
           // decimal sum: ANSI mode would overflow a long checksum
           sum(xxhash64(struct(written.columns.map(col): _*)).cast("decimal(38,0)"))
             .cast("string").as("checksum"))
-        .withColumn("stage", lit(name))
-        .withColumn("run_id", lit(runId))
-        .withColumn("wall_ms", lit(wallMs))
-        .select("stage", "run_id", "partition_id", "rows_out", "checksum", "wall_ms")
-      lineage.write.mode("append").parquet(metricsDir)
+        .collect()
+      import spark.implicits._
+      lineageLocal.toSeq
+        .map(r => (name, runId, r.getInt(0), r.getLong(1), r.getString(2), wallMs))
+        .toDF("stage", "run_id", "partition_id", "rows_out", "checksum", "wall_ms")
+        .coalesce(1)
+        .write.mode("append").parquet(metricsDir)
 
-      val rows = written.count()
+      val rows = lineageLocal.iterator.map(_.getLong(1)).sum
       val checksum =
-        lineage.agg(sum(col("checksum").cast("decimal(38,0)"))).collect()(0).get(0)
+        if (lineageLocal.isEmpty) null
+        else lineageLocal.iterator
+          .map(r => new java.math.BigDecimal(r.getString(2)))
+          .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
       Files.createDirectories(Paths.get(root))
       Files.write(
         manifestPath(name),

@@ -36,14 +36,14 @@ object ConnectedComponents {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // regime probe WITHOUT a full count: limit(T+1).count() stops scanning
-    // as soon as the graph is provably fact-sized and materializes NOTHING
-    // on the driver; only a provably-small graph is then collected (as
-    // primitive pairs, not boxed Rows)
+    // the probe IS the collect (q26/EntityLinker idiom): ONE bounded job —
+    // limit(T+1) rows — decides the regime AND, in the small-graph case,
+    // already holds the full edge set (a T+1st row proves the graph is
+    // fact-sized and the rows are discarded, ≤ ~80 MB paid only then)
     import spark.implicits._
-    val probeCount = sym.limit((collectThreshold + 1).toInt).count()
-    if (probeCount <= collectThreshold)
-      return smallGraph(spark, sym.as[(Long, Long)].collect())
+    val probe = sym.as[(Long, Long)].limit((collectThreshold + 1).toInt).collect()
+    if (probe.length <= collectThreshold)
+      return smallGraph(spark, probe)
 
     var labels = sym
       .select(col("src").as("node"))

@@ -18,15 +18,26 @@ import graft.link.{ConnectedComponents, MinHashLSH}
 object Dedup {
 
   /** Exact dedup: (doc_id, canonical_id, dup_count). canonical = min id of
-    * identical text. */
+    * identical text.
+    *
+    * Scale shape: group/join on a 64-bit text digest plus the text length
+    * (collision paranoia: a false merge needs an xxhash64 collision AND an
+    * equal length) — the document text itself never leaves the scan stage.
+    * The previous `groupBy(text)` + join-on-text exchanged the entire
+    * corpus text twice, the single largest avoidable shuffle in the repo
+    * at corpus scale; the exchanges now carry (hash, len, id) only. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val canon = docs
-      .groupBy(col(textCol))
+    val keyed = docs.select(
+      col(idCol),
+      xxhash64(col(textCol)).as("__th"),
+      length(col(textCol)).as("__tl"))
+    val canon = keyed
+      .groupBy(col("__th"), col("__tl"))
       .agg(
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
-    docs
-      .join(canon, Seq(textCol))
+    keyed
+      .join(canon, Seq("__th", "__tl"))
       .select(col(idCol), col("canonical_id"), col("dup_count"))
   }
 
@@ -40,13 +51,20 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 48,
       bands: Int = 16): DataFrame = {
+    // one-scan contract (r5 VERDICT "Next round" #6): the (id, text)
+    // projection persists, so the LSH signature pass, the candidate
+    // verify's two text join-backs and the final id list all read the
+    // cache instead of re-scanning the docs relation. Callers drop the
+    // cache via clearCache when done.
+    val base = docs.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = MinHashLSH
-      .similarPairs(spark, docs.select(col(idCol), col(textCol)), idCol, textCol,
+      .similarPairs(spark, base, idCol, textCol,
         numHashes = numHashes, bands = bands, threshold = threshold,
         shingleMode = "word")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comps = ConnectedComponents.run(spark, edges)
-    docs
+    base
       .select(col(idCol).cast("long").as("doc_id"))
       .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
@@ -115,6 +133,24 @@ object Dedup {
     * finds every qualifying pair (recall = 1.0 by construction — this is
     * why the query is exact-oracle-checkable). Verification is a codegen'd
     * bit_count(xor) on the two 64-bit signatures — no text ever shuffles. */
+  /** Hot-bucket proofing (r5 VERDICT "What's wrong" #3): identical
+    * signatures are collapsed to one representative BEFORE the band
+    * self-join — thousands of byte-identical boilerplate pages share all
+    * bands and would otherwise put an O(n²) bucket in one task. The band
+    * join runs over DISTINCT signatures only, components are computed on
+    * the reps, and each member takes its rep's component label.
+    *
+    * Output equality with the all-members formulation: identical sigs are
+    * trivially same-cluster (hamming 0), the rep is the MIN id of its sig
+    * group, and any qualifying cross-group edge is still found between
+    * the two groups' reps by pigeonhole — so a component's min member
+    * equals the min rep in the rep-graph component, which is exactly the
+    * label CC assigns. Recall stays 1.0 by construction — the
+    * oracle-exact property holds.
+    *
+    * The one narrow signature pass persists; the final id list comes from
+    * it, so the docs relation is scanned exactly once per call (r5 VERDICT
+    * "Next round" #6). Callers drop the persisted sigs via clearCache. */
   def simhashClusters(
       spark: SparkSession,
       docs: DataFrame,
@@ -123,6 +159,11 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     val sigs = simhashDF(spark, docs, idCol, textCol) // (idCol, simhash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // one representative per distinct signature (min id, deterministic)
+    val rep = sigs.groupBy(col("simhash")).agg(min(col(idCol)).as("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // disjoint bit slices: band b covers [lo, lo+width)
     val width = SimhashBits / nBands
@@ -132,8 +173,8 @@ object Dedup {
       val w = width + (if (b < extra) 1 else 0)
       (b, lo, w)
     }
-    val banded = sigs.select(
-      col(idCol).as("id"),
+    val banded = rep.select(
+      col("rep_id").as("id"),
       col("simhash"),
       explode(array(slices.map { case (b, lo, w) =>
         struct(
@@ -147,17 +188,20 @@ object Dedup {
       col("id").as("src"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("bits"),
       col("id").as("dst"), col("simhash").as("sig_b"))
-    val edges = a.join(b, Seq("band", "bits"))
+    val repEdges = a.join(b, Seq("band", "bits"))
       .filter(col("src") < col("dst"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxDist)
       .select(col("src"), col("dst"))
       .distinct()
 
-    val comps = ConnectedComponents.run(spark, edges)
-    docs
-      .select(col(idCol).cast("long").as("doc_id"))
-      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+    val comps = ConnectedComponents.run(spark, repEdges)
+    // member label = its rep's component (rep itself when edge-free)
+    sigs
+      .select(col(idCol).cast("long").as("doc_id"), col("simhash"))
+      .join(rep, Seq("simhash"))
+      .join(
+        comps.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("rep_id").cast("long")))
       .select("doc_id", "cluster_id")
   }
 
@@ -208,9 +252,13 @@ object Dedup {
         case None => () // pair-volume guard tripped: distribute instead
       }
     }
-    val edges = embeddingEdges(spark, base, threshold, nBits, tables)
+    // distributed regime: persist the (id, vec) projection so the two
+    // signature flatMaps, the two vector join-backs and the final id list
+    // read one cached scan of the vectors (r5 VERDICT "Next round" #6)
+    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = embeddingEdges(spark, cached, threshold, nBits, tables)
     val comps = ConnectedComponents.run(spark, edges)
-    base
+    cached
       .select(col("id"))
       .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("id")))

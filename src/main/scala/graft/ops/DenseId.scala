@@ -89,6 +89,9 @@ object DenseId {
     // side primitive: sorting 2.6M boxed (Long, Long) tuples measured ~5 s
     // single-threaded — a constant that lands on BOTH scaling legs —
     // where Arrays.parallelSort of packed longs is ~0.1 s.
+    // A NULL key forces the classic-path fallback too (ok=false): reading
+    // it as 0 would silently pack a valid (0, y) key and assign a
+    // wrong-but-plausible rank instead of withDenseId's NULLS-FIRST order.
     val keyed = df.select(col(k1).cast(LongType), col(k2).cast(LongType))
     val Lim = 1L << 31
     def pack(a: Long, b: Long): Long = (a << 31) | b
@@ -97,9 +100,12 @@ object DenseId {
         val a = new scala.collection.mutable.ArrayBuilder.ofLong
         var ok = true
         it.foreach { r =>
-          val x = r.getLong(0); val y = r.getLong(1)
-          if (x < 0 || x >= Lim || y < 0 || y >= Lim) ok = false
-          else a += pack(x, y)
+          if (r.isNullAt(0) || r.isNullAt(1)) ok = false
+          else {
+            val x = r.getLong(0); val y = r.getLong(1)
+            if (x < 0 || x >= Lim || y < 0 || y >= Lim) ok = false
+            else a += pack(x, y)
+          }
         }
         Iterator.single((ok, a.result()))
       }
@@ -145,8 +151,98 @@ object DenseId {
       val idRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       it.map { row =>
+        // the key pass saw no NULLs (it would have fallen back) — a NULL
+        // here means the input lineage changed between passes
+        require(!row.isNullAt(i1) && !row.isNullAt(i2),
+          "NULL key in the attach pass after a null-free key pass — non-deterministic input lineage")
         val rank = java.util.Arrays.binarySearch(keys, pack(r1(row), r2(row)))
         require(rank >= 0, "key pair missing from the rank table — non-deterministic input lineage")
+        idRow.update(0, rank.toLong)
+        joined(row, idRow): InternalRow
+      }
+    }
+    GraftBridge.internalDF(spark, rdd, schema)
+  }
+
+  /** Three-key variant of [[withDenseIdProbed]] for (docOrd, p1, p2)-style
+    * orders: the keys pack order-preservingly into one long when
+    * k1 ∈ [0, 2^31), k2 ∈ [0, 2^15), k3 ∈ [0, 2^16) — true of the mention
+    * call sites, where k2/k3 are token positions inside one document.
+    * Any out-of-range or NULL key falls back to the classic
+    * range-exchange path, whose ids are identical by construction. */
+  def withDenseIdProbed3(
+      df: DataFrame,
+      idName: String,
+      k1: String,
+      k2: String,
+      k3: String,
+      maxDriverKeys: Long = 32000000L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.functions.col
+
+    val spark = df.sparkSession
+    val keyed = df.select(
+      col(k1).cast(LongType), col(k2).cast(LongType), col(k3).cast(LongType))
+    val Lim1 = 1L << 31
+    val Lim2 = 1L << 15
+    val Lim3 = 1L << 16
+    def pack(a: Long, b: Long, c: Long): Long = (a << 31) | (b << 16) | c
+    val perPart = keyed.queryExecution.toRdd
+      .mapPartitions { it =>
+        val a = new scala.collection.mutable.ArrayBuilder.ofLong
+        var ok = true
+        it.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) ok = false
+          else {
+            val x = r.getLong(0); val y = r.getLong(1); val z = r.getLong(2)
+            if (x < 0 || x >= Lim1 || y < 0 || y >= Lim2 || z < 0 || z >= Lim3) ok = false
+            else a += pack(x, y, z)
+          }
+        }
+        Iterator.single((ok, a.result()))
+      }
+      .collect()
+    val total = perPart.iterator.map(_._2.length.toLong).sum
+    if (!perPart.forall(_._1) || total > maxDriverKeys)
+      return withDenseId(df, idName, col(k1), col(k2), col(k3))
+
+    val sortedKeys = new Array[Long](total.toInt)
+    var off = 0
+    perPart.foreach { case (_, a) =>
+      System.arraycopy(a, 0, sortedKeys, off, a.length); off += a.length
+    }
+    java.util.Arrays.parallelSort(sortedKeys)
+    var d = 1
+    while (d < sortedKeys.length && sortedKeys(d - 1) != sortedKeys(d)) d += 1
+    if (d < sortedKeys.length) return withDenseId(df, idName, col(k1), col(k2), col(k3))
+
+    val bc = spark.sparkContext.broadcast(sortedKeys)
+    val schema = df.schema.add(idName, LongType, nullable = false)
+    val i1 = df.schema.fieldIndex(k1)
+    val i2 = df.schema.fieldIndex(k2)
+    val i3 = df.schema.fieldIndex(k3)
+    def longReader(idx: Int): InternalRow => Long =
+      df.schema(idx).dataType match {
+        case LongType                               => _.getLong(idx)
+        case org.apache.spark.sql.types.IntegerType => _.getInt(idx).toLong
+        case org.apache.spark.sql.types.ShortType   => _.getShort(idx).toLong
+        case other =>
+          throw new IllegalArgumentException(s"non-integral key column $other")
+      }
+    val r1 = longReader(i1)
+    val r2 = longReader(i2)
+    val r3 = longReader(i3)
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val keys = bc.value
+      val idRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { row =>
+        require(!row.isNullAt(i1) && !row.isNullAt(i2) && !row.isNullAt(i3),
+          "NULL key in the attach pass after a null-free key pass — non-deterministic input lineage")
+        val rank = java.util.Arrays.binarySearch(keys, pack(r1(row), r2(row), r3(row)))
+        require(rank >= 0, "key triple missing from the rank table — non-deterministic input lineage")
         idRow.update(0, rank.toLong)
         joined(row, idRow): InternalRow
       }

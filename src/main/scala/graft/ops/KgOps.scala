@@ -107,17 +107,30 @@ object KgOps {
   }
 
   /** First-appearance dense ids for mention surfaces: (mention, e_id) —
-    * the §2.9 dictionary-encode over an arbitrary mention table. DenseId
-    * (range-partitioned two-phase enumeration) instead of a global ranking
-    * window, so the plan holds even when the surface dictionary grows. */
-  def dictEncode(mentionsDf: DataFrame): DataFrame =
+    * the §2.9 dictionary-encode over an arbitrary mention table. The
+    * bounded-driver rank probe (withDenseIdProbed) assigns ids from ONE
+    * column-pruned key pass when the dictionary fits the driver bound —
+    * no range exchange, no RangePartitioner sample pass, no zipWithIndex
+    * offsets job; above the bound the classic range-partitioned DenseId
+    * path runs with bit-identical ids. The struct min is lexicographic
+    * (doc_id, pos), so ranking the flattened pair gives the same order. */
+  def dictEncode(mentionsDf: DataFrame): DataFrame = {
+    // dimension-sized first-seen table persists (the xDict idiom): the
+    // rank probe's key pass populates it and the id-attach pass plus every
+    // downstream consumer read the cache instead of re-running the
+    // aggregation. Callers release it via clearCache.
+    val firstSeen = mentionsDf
+      .groupBy("mention")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_seen"))
+      .select(
+        col("mention"),
+        col("first_seen.doc_id").as("__d"),
+        col("first_seen.pos").as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DenseId
-      .withDenseId(
-        mentionsDf
-          .groupBy("mention")
-          .agg(min(struct(col("doc_id"), col("pos"))).as("first_seen")),
-        "e_id", col("first_seen"))
+      .withDenseIdProbed(firstSeen, "e_id", "__d", "__p")
       .select("mention", "e_id")
+  }
 
   /** Pair frequencies with min-support filter (§2.10). */
   def pairFreq(pairs: DataFrame, minCount: Long): DataFrame =

@@ -14,10 +14,10 @@ object Markers {
     * [E1]/[/E1], [E2]/[/E2], [SEP]. Insertion order per the reference:
     * openers before the token (E1 first), closers after it (E1 first). */
   def addSpecialTokens(
-      tokens: Seq[String],
+      tokens: scala.collection.Seq[String],
       e1: Span,
-      e2: Span): Seq[String] = {
-    val out = ArrayBuffer.empty[String]
+      e2: Span): scala.collection.Seq[String] = {
+    val out = new ArrayBuffer[String](tokens.length + 6)
     out += BertVocab.Cls
     var i = 0
     val n = tokens.length
@@ -30,7 +30,7 @@ object Markers {
       i += 1
     }
     out += BertVocab.Sep
-    out.toSeq
+    out
   }
 
   /** Inference-side marker insertion by STRING matching — port of the
@@ -85,12 +85,19 @@ object Markers {
     * per statement; Seq[Int] would box every id. */
   final case class Encoded(tokenIds: Array[Int], e1Span: Span, e2Span: Span)
 
+  /** Memoized wordpieces + their vocab ids for one surface token — the
+    * per-partition cache value. Caching the ID array too means the vocab
+    * HashMap is consulted once per DISTINCT token, not once per emitted
+    * wordpiece per statement (the tokenize stage re-encodes a near-closed
+    * vocabulary; this is the hot allocation path of the wide chain). */
+  final case class TokPieces(pieces: Array[String], ids: Array[Int])
+
   /** Tokenize the marker-bearing string and relocate spans to wordpiece
     * coordinates, inside the marker pairs: (e1_s+1, e1_e-1). Rows whose
     * markers vanish in tokenization are dropped (the reference counts and
     * drops them via the ValueError path, `mtb_data_loader.py:239-242`). */
   def encode(tokenizer: BertTokenizer)(
-      tokens: Seq[String],
+      tokens: scala.collection.Seq[String],
       e1: Span,
       e2: Span): Option[Encoded] =
     encodeCached(tokenizer, null)(tokens, e1, e2)
@@ -98,39 +105,46 @@ object Markers {
   /** encode with per-partition memoization: tokenize(" ".join(ts)) equals
     * the concatenation of tokenize(t) per element (tokens contain no
     * whitespace, and atomic markers cannot span a joined boundary), so each
-    * distinct surface tokenizes once per partition instead of once per
-    * statement — the statement stage re-tokenizes a near-closed vocabulary. */
+    * distinct surface tokenizes (and id-converts) once per partition
+    * instead of once per statement. Marker positions are found during the
+    * single append scan — first value-equal occurrence, exactly
+    * `buf.indexOf` semantics — instead of four post-hoc list scans. */
   def encodeCached(
       tokenizer: BertTokenizer,
-      cache: java.util.HashMap[String, Seq[String]])(
-      tokens: Seq[String],
+      cache: java.util.HashMap[String, TokPieces])(
+      tokens: scala.collection.Seq[String],
       e1: Span,
       e2: Span): Option[Encoded] = {
     val withMarkers = addSpecialTokens(tokens, e1, e2)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var e1s = -1; var e1e = -1; var e2s = -1; var e2e = -1
+    val ids = new scala.collection.mutable.ArrayBuilder.ofInt
+    ids.sizeHint(withMarkers.length + 8)
+    var n = 0
     withMarkers.foreach { t =>
-      val pcs =
-        if (cache == null) tokenizer.tokenize(t)
-        else {
-          var c = cache.get(t)
-          if (c == null) { c = tokenizer.tokenize(t); cache.put(t, c) }
-          c
-        }
-      buf ++= pcs
-    }
-    val e1s = buf.indexOf(BertVocab.E1)
-    val e1e = buf.indexOf(BertVocab.E1End)
-    val e2s = buf.indexOf(BertVocab.E2)
-    val e2e = buf.indexOf(BertVocab.E2End)
-    if (e1s < 0 || e1e < 0 || e2s < 0 || e2e < 0) None
-    else {
-      val ids = new Array[Int](buf.length)
-      var i = 0
-      while (i < buf.length) {
-        ids(i) = tokenizer.convertTokenToId(buf(i))
-        i += 1
+      var tp = if (cache == null) null else cache.get(t)
+      if (tp == null) {
+        val pcs = tokenizer.tokenize(t).toArray
+        val idArr = new Array[Int](pcs.length)
+        var i = 0
+        while (i < pcs.length) { idArr(i) = tokenizer.convertTokenToId(pcs(i)); i += 1 }
+        tp = TokPieces(pcs, idArr)
+        if (cache != null) cache.put(t, tp)
       }
-      Some(Encoded(ids, Span(e1s + 1, e1e - 1), Span(e2s + 1, e2e - 1)))
+      val pcs = tp.pieces
+      var i = 0
+      while (i < pcs.length) {
+        val p = pcs(i)
+        // the four marker strings are pairwise distinct, so at most one
+        // branch can match; "first occurrence wins" == indexOf semantics
+        if (e1s < 0 && p == BertVocab.E1) e1s = n
+        else if (e1e < 0 && p == BertVocab.E1End) e1e = n
+        else if (e2s < 0 && p == BertVocab.E2) e2s = n
+        else if (e2e < 0 && p == BertVocab.E2End) e2e = n
+        i += 1; n += 1
+      }
+      ids.addAll(tp.ids)
     }
+    if (e1s < 0 || e1e < 0 || e2s < 0 || e2e < 0) None
+    else Some(Encoded(ids.result(), Span(e1s + 1, e1e - 1), Span(e2s + 1, e2e - 1)))
   }
 }

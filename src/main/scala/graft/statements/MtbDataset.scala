@@ -27,8 +27,8 @@ object MtbDataset {
       pools: DataFrame,              // e1_id, e2_id, relation_ids, set
       e1Pool: DataFrame,
       e2Pool: DataFrame,
-      xDim: DataFrame,
-      eDim: DataFrame)
+      xDim: DataFrame,               // null when built with needDims = false
+      eDim: DataFrame)               // null when built with needDims = false
 
   /** @param probe measurement hook: called once per pipeline stage with
     *   (stageName, constructThunk). The thunk CONSTRUCTS the stage's
@@ -39,8 +39,16 @@ object MtbDataset {
     *   wide-scaling per-phase evidence; before round 5 the probe received
     *   an already-built DataFrame and those construction jobs fell between
     *   the timed windows). The probe MUST invoke the thunk exactly once;
-    *   the default just constructs — production builds stay one lazy DAG
-    *   with no extra jobs. */
+    *   the default just constructs. NOTE: construction itself runs bounded
+    *   probe/collect jobs eagerly (DenseId's key passes, the freq-filter
+    *   regime probe) — build() launches Spark jobs before any caller
+    *   action, it is not one lazy DAG.
+    * @param needDims when false, the window-text dictionary (Result.xDim)
+    *   and the pruned dims are skipped entirely — callers that only
+    *   consume tokenizedRelations/pools (the pair-scoring and loss paths)
+    *   otherwise pay the dictionary's groupBy + rank probe for output they
+    *   discard. The "dict_x" probe stage is not emitted in that mode;
+    *   Result.xDim/eDim are null. */
   def build(
       spark: SparkSession,
       pages: Dataset[WebPage],
@@ -51,6 +59,7 @@ object MtbDataset {
       windowSize: Int = 40,
       splitSeed: Long = 42L,
       broadcastPairsMax: Long = 1000000L,
+      needDims: Boolean = true,
       probe: (String, () => DataFrame) => Unit = (_, f) => { f(); () }): Result = {
     import spark.implicits._
 
@@ -81,7 +90,7 @@ object MtbDataset {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-    val xDim0 = stage("dict_x") { Encode.xDict(statements) }
+    val xDim0 = if (needDims) stage("dict_x") { Encode.xDict(statements) } else null
     // the entity dictionary is dimension-sized (distinct surface forms) and
     // is consumed three times (two broadcast builds in encodeFact + the
     // prune semi join) — persisted so each broadcast reads the tiny cache
@@ -150,10 +159,12 @@ object MtbDataset {
       afterPool
         .mapPartitions { rows =>
           val tok = tokenizer.value
-          val cache = new java.util.HashMap[String, Seq[String]](4096)
+          val cache = new java.util.HashMap[String, Markers.TokPieces](4096)
           rows.map { row =>
-            val tokens: Seq[String] =
-              row.getAs[scala.collection.Seq[String]]("tokens").toSeq
+            // no defensive .toSeq copy: encodeCached only reads the
+            // row-backed sequence inside this map call
+            val tokens: scala.collection.Seq[String] =
+              row.getAs[scala.collection.Seq[String]]("tokens")
             val e1 = graft.schema.Span(row.getAs[Int]("e1s"), row.getAs[Int]("e1e"))
             val e2 = graft.schema.Span(row.getAs[Int]("e2s"), row.getAs[Int]("e2e"))
             val encOpt = Markers.encodeCached(tok, cache)(tokens, e1, e2)
@@ -171,7 +182,8 @@ object MtbDataset {
         .filter(col("token_ids").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val (xDim, eDim) = Encode.pruneDims(afterPool, xDim0, eDim0)
+    val (xDim, eDim) =
+      if (needDims) Encode.pruneDims(afterPool, xDim0, eDim0) else (null, null)
 
     // dense relation ids over the cached tokenized rows; NOT persisted —
     // the heavy bytes live in the tokEnc cache, and each consumer's id

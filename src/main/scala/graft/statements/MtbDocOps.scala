@@ -30,12 +30,22 @@ object MtbDocOps {
     * relation_id), pair-frequency-filtered (minCount) with dense relation
     * ids assigned in (doc_id, p1, p2) order — the reference's
     * np.arange-after-filtering (`mtb_data_loader.py:249`). */
+  /** NOTE caller contract: the annotate flatMap and the filtered pair set
+    * are persisted internally (five consumers: the dictionary's key and
+    * attach passes, the pair self-join's two sides, and the relation-id
+    * probe + every downstream consumer). The bench clears the cache
+    * between queries; long-lived sessions should clearCache (or unpersist
+    * via the catalog) when done with the statement set. */
   def statements(
       spark: SparkSession,
       docs: DataFrame,
       window: Int = 40,
       minCount: Int = 2): DataFrame = {
+    // one annotate pass: m feeds the dictionary (key pass + per-broadcast
+    // attach) and both sides of the banded self-join — without the persist
+    // the flatMap re-runs ~5x per statements() call
     val m = KgOps.mentions(spark, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = KgOps.dictEncode(m)
     val a = m.select(col("doc_id"), col("mention").as("m1"), col("pos").as("p1"))
     val b = m.select(col("doc_id"), col("mention").as("m2"), col("pos").as("p2"))
@@ -47,10 +57,16 @@ object MtbDocOps {
       .join(broadcast(dict.withColumnRenamed("mention", "m2")
         .withColumnRenamed("e_id", "e2_id")), Seq("m2"))
       .select(col("doc_id"), col("p1"), col("p2"), col("e1_id"), col("e2_id"))
+    // persisted BEFORE the id probe: the probe's key pass is then the
+    // cache-population pass, and the attach + every downstream consumer
+    // read cached rows instead of re-running the join chain
     val filtered = Encode.freqFilter(enc, minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, p1, p2) is a total order: mention positions are unique
-    // within a document (first-occurrence per distinct surface)
-    DenseId.withDenseId(filtered, "relation_id", col("doc_id"), col("p1"), col("p2"))
+    // within a document (first-occurrence per distinct surface). Bounded
+    // driver rank (positions are document-local, well under the packed
+    // 2^15/2^16 bounds); the classic range exchange is the fallback.
+    DenseId.withDenseIdProbed3(filtered, "relation_id", "doc_id", "p1", "p2")
   }
 
   final case class DocMtb(
@@ -60,8 +76,10 @@ object MtbDocOps {
       e2Pool: DataFrame,
       nRelations: Long)
 
-  /** Statements + pools + per-entity pools, with the statements persisted
-    * once for the four consumers. */
+  /** Statements + pools + per-entity pools. statements() persists its
+    * filtered pair set internally, so each consumer here pays only the
+    * narrow id-attach map over cached rows — no second persist of the
+    * near-identical output. */
   def build(
       spark: SparkSession,
       docs: DataFrame,
@@ -69,7 +87,6 @@ object MtbDocOps {
       minCount: Int = 2,
       seed: Long = 42L): DocMtb = {
     val st = statements(spark, docs, window, minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DocMtb(
       statements = st,
       pools = Encode.pools(st, seed),

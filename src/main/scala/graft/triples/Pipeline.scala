@@ -199,8 +199,9 @@ object TriplePipeline {
         val tok = tokenizer.value
         val padId = tok.padId
         // per-partition wordpiece memo: statement windows draw from a
-        // near-closed token vocabulary, so each surface tokenizes once
-        val cache = new java.util.HashMap[String, Seq[String]](4096)
+        // near-closed token vocabulary, so each surface tokenizes (and
+        // id-converts) once
+        val cache = new java.util.HashMap[String, Markers.TokPieces](4096)
         val statements = rows.flatMap { case (url, textNorm) =>
           val doc = filterMentions(Annotator.annotate(url, textNorm, gaz.value), cfg)
           Windowing.statements(doc, stableDocOrd(url), windowSize).iterator.flatMap { st =>

@@ -15,7 +15,7 @@ class MarkersCacheSpec extends AnyFunSuite {
   test("encodeCached == joined-string tokenize semantics") {
     val r = new scala.util.Random(11)
     val vocabWords = graft.tokenize.Vocab.fixtureWords.toVector
-    val cache = new java.util.HashMap[String, Seq[String]]()
+    val cache = new java.util.HashMap[String, Markers.TokPieces]()
     (1 to 300).foreach { _ =>
       val n = 3 + r.nextInt(20)
       val words = Vector.fill(n)(
@@ -37,7 +37,7 @@ class MarkersCacheSpec extends AnyFunSuite {
 
   test("embedded marker substrings inside words stay atomic both ways") {
     val words = Seq("pre[E1]post", "normal")
-    val cache = new java.util.HashMap[String, Seq[String]]()
+    val cache = new java.util.HashMap[String, Markers.TokPieces]()
     val a = Markers.encode(tok)(words, Span(0, 0), Span(1, 1))
     val b = Markers.encodeCached(tok, cache)(words, Span(0, 0), Span(1, 1))
     assert(a.map(_.tokenIds.toSeq) == b.map(_.tokenIds.toSeq))
