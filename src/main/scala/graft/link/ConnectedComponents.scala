@@ -65,10 +65,21 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("component", "nbr_comp"), Seq("dst"))
         .select(col("src").as("node"), col("nbr_comp").as("component"))
-      val next = labels
+      val propagated = labels
         .unionAll(viaNeighbors)
         .groupBy("node")
         .agg(min("component").as("component"))
+      // pointer jumping (path halving): additionally re-label through the
+      // label's own label, so the min travels ~2^k hops by round k — a
+      // diameter-D chain converges in O(log D) rounds instead of O(D).
+      // (One-hop-only propagation silently hit maxIter on a 30-chain and
+      // returned stale labels — caught by the Round6 parity spec.)
+      val next = propagated
+        .join(
+          propagated.select(
+            col("node").as("component"), col("component").as("__cc")),
+          Seq("component"), "left")
+        .select(col("node"), coalesce(col("__cc"), col("component")).as("component"))
         .localCheckpoint(true)
       val sumNow = labelSum(next)
       converged = sumNow == prevSum
@@ -76,6 +87,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // a silently-stale labeling is a correctness bug, not a perf trade:
+    // with path halving 20 rounds cover diameters ~2^20, so hitting the
+    // cap means something is genuinely wrong
+    require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }
 

@@ -28,13 +28,18 @@ object KgGraph {
       .withColumn("dst_id", xxhash64(col("obj")))
       .select("src_id", "dst_id", "pred", "weight", "subj", "obj")
 
-    val out = edges.groupBy(col("subj").as("surface"))
-      .agg(sum(col("weight")).as("out_degree"))
-    val in = edges.groupBy(col("obj").as("surface"))
-      .agg(sum(col("weight")).as("in_degree"))
-    val nodes = out
-      .join(in, Seq("surface"), "full_outer")
-      .na.fill(0L, Seq("out_degree", "in_degree"))
+    // one pass: each edge contributes (subj, w, 0) and (obj, 0, w) rows to
+    // a single degree aggregate — same totals as the former
+    // out-agg/in-agg/full-outer-join shape, without the second aggregate
+    // pass over the edges and the full-outer sort-merge join's two sorts
+    val nodes = edges
+      .select(explode(array(
+        struct(col("subj").as("surface"), col("weight").as("out_w"), lit(0L).as("in_w")),
+        struct(col("obj").as("surface"), lit(0L).as("out_w"), col("weight").as("in_w"))))
+        .as("s"))
+      .select(col("s.surface"), col("s.out_w"), col("s.in_w"))
+      .groupBy(col("surface"))
+      .agg(sum(col("out_w")).as("out_degree"), sum(col("in_w")).as("in_degree"))
       .withColumn("e_id", xxhash64(col("surface")))
       .withColumn("degree", col("out_degree") + col("in_degree"))
       .select("e_id", "surface", "out_degree", "in_degree", "degree")
