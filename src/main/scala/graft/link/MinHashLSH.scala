@@ -157,16 +157,22 @@ object MinHashLSH {
     val buckets = sigs
       .select(col("id"), col("sig"), posexplode(col("band_hashes")).as(Seq("band", "bh")))
 
-    // hot-bucket cap with an observed metric (no silent drop)
-    val okBuckets = buckets
-      .groupBy("band", "bh").count()
+    // hot-bucket cap with an observed metric (no silent drop): ONE window
+    // pass over the (band, bh) exchange computes each bucket's size — the
+    // former count-aggregate + semi-join-back paid a second exchange of
+    // the bucket rows for the same filter. The observe counts each
+    // dropped bucket once via the window's row_number.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    val sized = buckets
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(col("id"))))
       .observe(
         "minhash_lsh",
-        sum(when(col("count") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
-        max(col("count")).as("max_bucket"))
-      .filter(col("count") <= maxBucket)
-      .select("band", "bh")
-    val sized = buckets.join(okBuckets, Seq("band", "bh"), "left_semi")
+        sum(when(col("__cnt") > maxBucket && col("__rn") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_buckets"),
+        coalesce(max(col("__cnt")), lit(0L)).as("max_bucket"))
+      .filter(col("__cnt") <= maxBucket)
+      .drop("__cnt", "__rn")
 
     val a = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("sig").as("sig_b"))
