@@ -162,10 +162,17 @@ object MinHashLSH {
     // former count-aggregate + semi-join-back paid a second exchange of
     // the bucket rows for the same filter. The observe counts each
     // dropped bucket once via the window's row_number.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    // both functions share ONE window spec (same partition AND order, the
+    // count made order-insensitive by an explicit full-partition frame) so
+    // they compile into a single Sort+Window pass — with the count left on
+    // the default unordered spec Spark plans two Window operators with two
+    // sorts over the same exchange
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
     val sized = buckets
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(col("id"))))
+      .withColumn("__cnt", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__rn", row_number().over(w))
       .observe(
         "minhash_lsh",
         sum(when(col("__cnt") > maxBucket && col("__rn") === 1, lit(1L)).otherwise(lit(0L)))
