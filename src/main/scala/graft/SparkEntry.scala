@@ -579,7 +579,19 @@ object SparkEntry {
         val linkedV = graft.link.EntityLinker.canonicalize(s, variantDim, threshold = 0.7)
         val canonV = graft.link.EntityLinker.canonicalizeTriples(raw, linkedV)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val chV = canonV.exceptAll(raw).count()
+        // one-pass multiset difference count (the q53 idiom, one-sided):
+        // |canonV \ raw| over multisets is sum over distinct rows of
+        // max(0, countV - countRaw) — one aggregation per side + a join
+        // instead of exceptAll's union + aggregate + generate replication
+        val keyCols = canonV.columns.toSeq
+        val chV = canonV.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cv"))
+          .join(
+            raw.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cr")),
+            keyCols, "left")
+          .agg(coalesce(
+            sum(greatest(col("__cv") - coalesce(col("__cr"), lit(0L)), lit(0L))),
+            lit(0L)).as("d"))
+          .as[Long].head()
         val dgV = canonV
           .agg(contentDigest(col("subj"), col("pred"), col("obj"), col("url")).as("d"))
           .as[Long].head()
