@@ -195,8 +195,12 @@ object MtbDataset {
     Result(
       tokenizedRelations = withIds,
       pools = pools,
-      e1Pool = Encode.entityPool(withIds, "e1"),
-      e2Pool = Encode.entityPool(withIds, "e2"),
+      // derived from the PAIR pools, not the fact table (identical
+      // per-entity multiset; the pool table is the aggregated dim) —
+      // consumers that never read them pay nothing either way, consumers
+      // that do aggregate pool rows instead of re-shuffling statements
+      e1Pool = Encode.entityPoolFromPools(pools, "e1"),
+      e2Pool = Encode.entityPoolFromPools(pools, "e2"),
       xDim = xDim,
       eDim = eDim)
   }

@@ -87,11 +87,18 @@ object MtbDocOps {
       minCount: Int = 2,
       seed: Long = 42L): DocMtb = {
     val st = statements(spark, docs, window, minCount)
+    // both per-entity pools are derived from the pair pools instead of
+    // re-aggregating the fact table (identical multiset per entity by
+    // partition-refinement; see Encode.entityPoolFromPools). No persist:
+    // the three pool references are identical subtrees in ONE consumer
+    // plan (the negative-sampling join), so the pools exchange is planned
+    // once and reused.
+    val pools = Encode.pools(st, seed)
     DocMtb(
       statements = st,
-      pools = Encode.pools(st, seed),
-      e1Pool = Encode.entityPool(st, "e1"),
-      e2Pool = Encode.entityPool(st, "e2"),
+      pools = pools,
+      e1Pool = Encode.entityPoolFromPools(pools, "e1"),
+      e2Pool = Encode.entityPoolFromPools(pools, "e2"),
       nRelations = st.count())
   }
 }
