@@ -47,23 +47,31 @@ object WideBench {
       c
     }
 
-    def wideLeg(cores: Int): (Seq[(String, Double)], Long) = {
+    def wideLeg(cores: Int): WideScaleProbe.PhasedCpu = {
       val s = session(cores)
       wideRun(s, 2000)
-      val r = WideScaleProbe.phasedRunOn(s, pagesDs(s, 0))
+      val r = WideScaleProbe.phasedRunCpuOn(s, pagesDs(s, 0))
       s.stop()
       System.gc()
       r
     }
 
     val pairsRun = (1 to reps).map { i =>
-      val (lo, cLo) = wideLeg(4)
-      val (hi, cHi) = wideLeg(16)
+      val loR = wideLeg(4)
+      val hiR = wideLeg(16)
+      val (lo, cLo) = (loR.wall, loR.pools)
+      val (hi, cHi) = (hiR.wall, hiR.pools)
       require(cLo == cHi, s"pools disagree: $cLo vs $cHi")
       println(f"pair $i lo=${lo.map(_._2).sum}%.1f hi=${hi.map(_._2).sum}%.1f " +
         f"eff=${(lo.map(_._2).sum / hi.map(_._2).sum) / 4}%.3f")
       lo.zip(hi).foreach { case ((n, l), (_, h)) =>
-        println(f"  $n%-24s lo=$l%7.2f hi=$h%7.2f eff=${(l / h) / 4}%.3f")
+        val cpuL = loR.cpuSec.getOrElse(n, 0.0)
+        val cpuH = hiR.cpuSec.getOrElse(n, 0.0)
+        // cpu_ratio ~1.0 = both legs executed the same on-CPU work (wall
+        // gap is host scheduling/stalls); util = cpu / (cores * wall)
+        println(f"  $n%-24s lo=$l%7.2f hi=$h%7.2f eff=${(l / h) / 4}%.3f  " +
+          f"cpu_lo=$cpuL%7.2f cpu_hi=$cpuH%7.2f cpu_ratio=${if (cpuL > 0) cpuH / cpuL else 0.0}%.3f " +
+          f"util_lo=${cpuL / (4 * l)}%.2f util_hi=${cpuH / (16 * h)}%.2f")
       }
       (lo, hi)
     }

@@ -75,6 +75,72 @@ object WideScaleProbe {
     (buf.toSeq, pools)
   }
 
+  /** Per-phase task-metric totals captured alongside the wall times:
+    * cpuSec = executorCpuTime (actual on-CPU nanoseconds, which on this
+    * kernel INCLUDES memory-stall cycles), runSec = executorRunTime.
+    * Attribution: phases run sequentially with a count() barrier, so each
+    * completed stage is credited to the phase active when it completes
+    * (listener-async slop of a few ms is noise at these phase lengths). */
+  final case class PhasedCpu(
+      wall: Seq[(String, Double)],
+      pools: Long,
+      cpuSec: Map[String, Double],
+      runSec: Map[String, Double])
+
+  /** [[phasedRunOn]] plus per-phase task CPU/run-time totals — the
+    * r5-requested evidence separating "the engine leaves cores idle" from
+    * "the host executes 16 threads at sub-4x of 4-thread throughput":
+    * if cpu_hi is roughly cpu_lo while wall efficiency reads well below 1,
+    * the same CPU work was done and the gap is host-level (scheduling or
+    * stall cycles inflating BOTH legs' cpu equally); if cpu_hi is inflated
+    * vs cpu_lo, the contention itself is the measured fact. Bench.scala is
+    * frozen and keeps calling [[phasedRunOn]]; only WideBench uses this. */
+  def phasedRunCpuOn(
+      s: SparkSession,
+      pages: org.apache.spark.sql.Dataset[graft.schema.WebPage]): PhasedCpu = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    @volatile var current = "residual"
+    val cpuNs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val runMs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          cpuNs.merge(current, m.executorCpuTime, (a, b) => a + b)
+          runMs.merge(current, m.executorRunTime, (a, b) => a + b)
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val sc = s.sparkContext
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var pools = 0L
+    val w0 = System.nanoTime()
+    graft.statements.MtbDataset.build(
+      s, pages,
+      sc.broadcast(new graft.annotate.Gazetteer(graft.fixtures.FixtureVocab.AllEntities)),
+      sc.broadcast(graft.tokenize.Vocab.fixtureTokenizer),
+      minCount = 2, minPoolSize = 2,
+      probe = (name, thunk) => {
+        current = name
+        val t0 = System.nanoTime()
+        val c = thunk().count()
+        buf += name -> (System.nanoTime() - t0) / 1e9
+        if (name == "pools") pools = c
+      })
+    current = "residual"
+    val wall = (System.nanoTime() - w0) / 1e9
+    buf += "residual" -> math.max(0.0, wall - buf.map(_._2).sum)
+    Thread.sleep(500) // drain listener-bus stage-completed events
+    s.sparkContext.removeSparkListener(listener)
+    s.catalog.clearCache()
+    import scala.jdk.CollectionConverters._
+    PhasedCpu(
+      buf.toSeq, pools,
+      cpuNs.asScala.map { case (k, v) => k -> v.toDouble / 1e9 }.toMap,
+      runMs.asScala.map { case (k, v) => k -> v.toDouble / 1e3 }.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = sys.env.getOrElse("PROBE_MODE", "scale")
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(200000L, 600000L)
