@@ -167,4 +167,52 @@ class Round6OpsSpec extends AnyFunSuite {
       finally st.close()
     }
   }
+
+  // ---- entityPoolFromPools == entityPool (pair-pool-derived per-entity
+  //      pools must equal the fact-table aggregation, hot keys included) ----
+
+  test("entityPoolFromPools equals fact-table entityPool, including a hot key") {
+    import spark.implicits._
+    import graft.statements.Encode
+    // entity 1 is hot: it pairs with every other entity; relation ids are
+    // deliberately non-contiguous and interleaved across pairs so the
+    // sort_array order actually matters
+    val fact = (for {
+      e2 <- 2L to 9L
+      k <- 0 until 5
+    } yield (1L, e2, e2 * 100 + k * 7)) ++ Seq((3L, 5L, 9000L), (3L, 5L, 8999L))
+    val df = fact.toDF("e1_id", "e2_id", "relation_id")
+    val pools = Encode.pools(df, seed = 42L)
+    for (side <- Seq("e1", "e2")) {
+      val fromFact = Encode.entityPool(df, side)
+        .withColumn("relation_ids", to_json(col("relation_ids")))
+        .orderBy(s"${side}_id").collect().toSeq
+      val fromPools = Encode.entityPoolFromPools(pools, side)
+        .withColumn("relation_ids", to_json(col("relation_ids")))
+        .orderBy(s"${side}_id").collect().toSeq
+      assert(fromPools == fromFact, s"side=$side")
+    }
+  }
+
+  // ---- the q41/q53 multiset-count identity: agg-join count ==
+  //      exceptAll().count() on random multisets with duplicates ----
+
+  test("one-sided multiset difference count equals exceptAll().count()") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val a = Seq.fill(80)((rnd.nextInt(6).toString, rnd.nextInt(4))).toDF("k", "v")
+      val b = Seq.fill(80)((rnd.nextInt(6).toString, rnd.nextInt(4))).toDF("k", "v")
+      val expected = a.exceptAll(b).count()
+      val keyCols = a.columns.toSeq
+      val got = a.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__ca"))
+        .join(b.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cb")),
+          keyCols, "left")
+        .agg(coalesce(
+          sum(greatest(col("__ca") - coalesce(col("__cb"), lit(0L)), lit(0L))),
+          lit(0L)).as("d"))
+        .as[Long].head()
+      assert(got == expected, s"trial=$trial")
+    }
+  }
 }
